@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark: FF-RAFT inference frames/sec/chip on Sintel-sized input.
+
+Driver-assigned north star (BASELINE.md): FF-RAFT forward at 1024x436
+(padded to /8), 12 refinement iterations, >= 2x A100 fps on a TPU chip.
+The reference publishes no fps numbers (`BASELINE.md`), so the A100 anchor
+below is an assumption recorded here for reproducibility: RAFT-class models
+run ~25 fps at this size with 12 iters on A100 (extrapolated from the RAFT
+paper's 10 fps @ 1088x436/1080Ti). `vs_baseline` is fps / (2 * 25), i.e.
+1.0 == met the 2x-A100 target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+ASSUMED_A100_FPS = 25.0
+TARGET_FACTOR = 2.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from focusflow_official_tpu.models import FFRaft, FFRaftConfig
+    from focusflow_official_tpu.ops.padding import InputPadder
+
+    h, w, iters, batch = 436, 1024, 12, 1
+    cfg = FFRaftConfig(
+        fusion="parallel", fusion_type="1x1conv", fuse_cnet=True,
+        iters=iters, compute_dtype="bfloat16", corr_impl="auto",
+    )
+    model = FFRaft(cfg)
+
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray((rng.rand(batch, h, w, 3) * 255).astype(np.float32))
+    img2 = jnp.asarray((rng.rand(batch, h, w, 3) * 255).astype(np.float32))
+    mask1 = jnp.asarray((rng.rand(batch, h, w, 1) > 0.995).astype(np.float32) * 255)
+    mask2 = jnp.asarray((rng.rand(batch, h, w, 1) > 0.995).astype(np.float32) * 255)
+
+    padder = InputPadder(img1.shape)
+    img1, img2, mask1, mask2 = padder.pad(img1, img2, mask1, mask2)
+
+    variables = model.init(jax.random.PRNGKey(0), img1, img2, mask1, mask2, iters=1)
+
+    @jax.jit
+    def forward(v, a, b, c, d):
+        _, flow_up = model.apply(v, a, b, c, d, iters=iters, test_mode=True)
+        return flow_up
+
+    # warmup/compile
+    forward(variables, img1, img2, mask1, mask2).block_until_ready()
+
+    n_iters, best = 10, float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = forward(variables, img1, img2, mask1, mask2)
+        out.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / n_iters)
+
+    fps = batch / best
+    print(json.dumps({
+        "metric": "ff-raft_sintel_1024x436_12iter_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / (TARGET_FACTOR * ASSUMED_A100_FPS), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

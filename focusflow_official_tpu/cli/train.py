@@ -1,0 +1,232 @@
+"""Training CLI: `python -m focusflow_official_tpu.cli.train --yaml <cfg>`.
+
+The reference's per-model `train.py` interface (`--yaml <config> --gpus ...`,
+`/root/reference/core/models/ff-raft/train.py:407-419`) as ONE unified
+trainer: the YAML (same schema, reference configs are drop-in) selects the
+model family, stage curriculum, loss, and optimizer. `--gpus` is accepted
+and ignored (device selection is the JAX runtime's job); multi-chip scaling
+comes from the mesh, not process spawning.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import load_yaml_config, loss_kwargs_from_yaml, model_config_from_yaml
+from ..data.datasets import KITTI, FlyingChairs, MpiSintel, fetch_dataset
+from ..data.loader import Loader
+from ..losses import build_sequence_loss
+from ..models import FFRaft
+from ..train import evaluate as eval_mod
+from ..train.checkpoints import CheckpointManager, save_params_only
+from ..train.loop import build_optimizer, create_train_state, make_train_step
+from ..train.mesh import make_mesh, put_batch, replicate
+from ..train.metrics import MetricsLogger
+from ..train.schedule import one_cycle_lr
+from ..train.surgery import copy_to_branch, drop_first_convs, freeze_mask_for_parallel
+from ..compat.torch_import import torch_state_dict_to_variables
+
+DEFAULT_DATA_ROOT = {
+    "chairs": "data/FlyingChairs_release",
+    "things": "data/FlyingThings3D",
+    "sintel": "data/Sintel-custom",
+    "kitti": "data/KITTI-custom",
+}
+
+
+def mask_roots(data_root: Dict[str, str]) -> Dict[str, str]:
+    return {k: os.path.join(os.path.dirname(v) or ".", "mask", os.path.basename(v))
+            for k, v in data_root.items()}
+
+
+def load_torch_pretrained(path: str, template, *, prefix: str = "", backend: bool = False,
+                          strict: bool = True):
+    """Load a reference `.pth`/`.pth.tar` into our variable tree."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd:
+        sd = sd["model"]
+    if backend:
+        sd = drop_first_convs(sd)
+    return torch_state_dict_to_variables(sd, template, strict=strict, prefix=prefix)
+
+
+def train(args) -> int:
+    cfg = load_yaml_config(args.yaml)
+    model_cfg = model_config_from_yaml(
+        cfg, compute_dtype=args.compute_dtype, corr_impl=args.corr_impl
+    )
+    seed = int(cfg.GLOBAL.get("SEED", 1234))
+
+    mesh = make_mesh()
+    n_proc = jax.process_count()
+    logger = MetricsLogger(args.log_dir, args.yaml, cfg.GLOBAL.get("NAME", "run"))
+    logger.info(f"experiment: {cfg.GLOBAL.get('NAME')}  devices: {jax.device_count()}")
+
+    # ---- data
+    data_root = dict(DEFAULT_DATA_ROOT)
+    if args.data_root:
+        for kv in args.data_root:
+            k, v = kv.split("=", 1)
+            data_root[k] = v
+    mask_root = mask_roots(data_root)
+    stage = cfg.TRAIN.STAGE
+    train_ds = "C+T+S" if stage == "sintel" else None
+    dataset = fetch_dataset(
+        data_root, mask_root, stage=stage,
+        image_size=tuple(cfg.TRAIN.IMAGE_SIZE), mask_type=cfg.TRAIN.MASK_TYPE,
+        train_ds=train_ds, seed=seed,
+    )
+    # round the global batch up to a device multiple so the leading axis
+    # shards evenly over the mesh (the reference's BATCH_SIZE//world_size
+    # silently drops the remainder instead — `core/datasets.py:306`)
+    n_dev = jax.device_count()
+    batch_size = -(-int(cfg.TRAIN.BATCH_SIZE) // n_dev) * n_dev
+    if batch_size != int(cfg.TRAIN.BATCH_SIZE):
+        logger.info(f"batch size {cfg.TRAIN.BATCH_SIZE} -> {batch_size} "
+                    f"(multiple of {n_dev} devices)")
+    loader = Loader(
+        dataset, batch_size, seed=seed,
+        num_workers=int(cfg.GLOBAL.get("NUM_WORKERS", 4)),
+        process_index=jax.process_index(), process_count=n_proc,
+    )
+    logger.info(f"training with {len(dataset)} image pairs")
+
+    # ---- model + optimizer
+    model = FFRaft(model_cfg)
+    num_steps = int(cfg.TRAIN.NUM_STEPS)
+    schedule = one_cycle_lr(float(cfg.SCHEDULER.LR), num_steps + 100, pct_start=0.05)
+    freeze_labels = None
+
+    example = next(iter(loader.batches()))
+    example = {k: jnp.asarray(v) for k, v in example.items()}
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+
+    tx = build_optimizer(
+        schedule,
+        weight_decay=float(cfg.OPTIMIZER.WEIGHT_DECAY),
+        epsilon=float(cfg.OPTIMIZER.EPSILON),
+        clip=float(cfg.TRAIN.CLIP),
+        freeze_labels=freeze_labels,
+    )
+    state = create_train_state(model, init_rng, example, tx)
+
+    # pretrained / transfer loads (reference `ff_raft.py:112-118`, `raft.py:115-148`)
+    template = {"params": state.params, "batch_stats": state.batch_stats}
+    if cfg.MODEL.get("PRETRAIN"):
+        v = load_torch_pretrained(cfg.MODEL.PRETRAIN, template)
+        state = state.replace(params=v["params"], batch_stats=v["batch_stats"])
+    if cfg.MODEL.get("LOAD_MODULE"):
+        v = load_torch_pretrained(
+            cfg.MODEL.LOAD_MODULE, template, prefix="flow_net.", strict=False
+        )
+        state = state.replace(params=v["params"], batch_stats=v["batch_stats"])
+        if cfg.MODEL.get("LOAD_MODULE_TO_BRANCH"):
+            v = copy_to_branch({"params": state.params})
+            state = state.replace(params=v["params"])
+    if cfg.MODEL.get("FREEZE_MODULE"):
+        freeze_labels = freeze_mask_for_parallel(state.params)
+        tx = build_optimizer(
+            schedule, weight_decay=float(cfg.OPTIMIZER.WEIGHT_DECAY),
+            epsilon=float(cfg.OPTIMIZER.EPSILON), clip=float(cfg.TRAIN.CLIP),
+            freeze_labels=freeze_labels,
+        )
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
+
+    ckpt = CheckpointManager(os.path.join(logger.log_dir, "checkpoints"))
+    start_step = 0
+    if cfg.TRAIN.get("RESTORE_CHECKPOINT"):
+        restore_dir = cfg.TRAIN.RESTORE_CHECKPOINT
+        state, start_step = CheckpointManager(restore_dir).restore(state)
+        logger.info(f"restored checkpoint step {start_step} from {restore_dir}")
+
+    # replicate state over the mesh; batches get sharded over `data`
+    state = jax.device_put(state, replicate(mesh))
+
+    loss_kwargs = loss_kwargs_from_yaml(cfg)
+    loss_type = loss_kwargs.pop("loss_type")
+    loss_fn = build_sequence_loss(loss_type, **loss_kwargs)
+    step_fn = make_train_step(loss_fn, iters=model_cfg.iters,
+                              add_noise=bool(cfg.TRAIN.get("ADD_NOISE", False)))
+
+    val_freq = args.val_freq
+    total = start_step
+    for batch in loader.batches(start_step=total):
+        if total >= num_steps:
+            break
+        rng, step_rng = jax.random.split(rng)
+        batch = put_batch(batch, mesh)
+        state, metrics = step_fn(state, batch, step_rng)
+        if jax.process_index() == 0:
+            logger.push({k: float(v) for k, v in metrics.items()})
+
+        total += 1
+        if total % val_freq == 0 and jax.process_index() == 0:
+            ckpt.save(total, state)
+            results = run_validation(cfg, model, state, data_root, mask_root)
+            logger.write_dict(results, prefix="val/")
+
+    # final validation + params-only export (reference `train.py:377-398`)
+    if jax.process_index() == 0:
+        results = run_validation(cfg, model, state, data_root, mask_root)
+        logger.write_dict(results, prefix="final/")
+        ckpt.save(total, state)
+        ckpt.wait()
+        save_params_only(
+            os.path.join(logger.log_dir, f"{cfg.GLOBAL.get('NAME','model')}_final"),
+            state.params, state.batch_stats,
+        )
+        logger.close()
+    return 0
+
+
+def run_validation(cfg, model, state, data_root, mask_root) -> Dict:
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    mask_type = cfg.TRAIN.MASK_TYPE
+    results: Dict = {}
+    for val_dataset in cfg.CRITERION.VAL_DATASET:
+        try:
+            if val_dataset == "chairs":
+                ds = FlyingChairs(data_root["chairs"], mask_root["chairs"],
+                                  split="validation", mask_type=mask_type)
+                results.update(eval_mod.validate_chairs(model, variables, ds, mask_type))
+            elif val_dataset == "sintel":
+                dss = {t: MpiSintel(data_root["sintel"], mask_root["sintel"],
+                                    split="val", dstype=t, mask_type=mask_type)
+                       for t in ("clean", "final")}
+                results.update(eval_mod.validate_sintel(model, variables, dss, mask_type))
+            elif val_dataset == "kitti":
+                ds = KITTI(data_root["kitti"], mask_root["kitti"], split="val",
+                           mask_type=mask_type)
+                results.update(eval_mod.validate_kitti(model, variables, ds, mask_type))
+        except (FileNotFoundError, AssertionError, IndexError) as e:
+            results[f"{val_dataset}-error"] = float("nan")
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--yaml", required=True, help="experiment config")
+    parser.add_argument("--gpus", default=None, nargs="*",
+                        help="accepted for reference-CLI compatibility; unused")
+    parser.add_argument("--data-root", nargs="*", default=None,
+                        help="override data roots, e.g. chairs=/data/FlyingChairs_release")
+    parser.add_argument("--log-dir", default="runs")
+    parser.add_argument("--compute-dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--corr-impl", default="auto", choices=["auto", "xla", "pallas"])
+    parser.add_argument("--val-freq", type=int, default=5000)
+    args = parser.parse_args()
+    raise SystemExit(train(args))
+
+
+if __name__ == "__main__":
+    main()

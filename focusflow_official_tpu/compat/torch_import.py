@@ -1,0 +1,103 @@
+"""Import PyTorch reference checkpoints into flax variable trees.
+
+Used for two things: (1) numeric parity gates against the reference
+implementation (load the same random-init weights into both and compare
+outputs), and (2) bootstrapping training from the reference's published
+`.pth` checkpoints (e.g. `raft-chairs.pth`, `ff-raft/config/...`
+LOAD_MODULE chains — see `raft.py:115-148`).
+
+The flax module tree was deliberately named so torch keys map 1:1:
+
+    flow_net.fnet.layer1.0.conv1.weight  ->  flow_net/fnet/layer1_0/conv1/kernel
+    flow_net.update_block.gru.convz1.*   ->  flow_net/update_step/update_block/gru/convz1/*
+    ...mask.0.weight (Sequential)        ->  .../mask_0/kernel
+
+Tensor transforms: conv (O,I,kh,kw) -> (kh,kw,I,O); norm weight -> scale;
+BatchNorm running_mean/var -> the 'batch_stats' collection. The reference's
+shared downsample norm (`downsample.1` is the same module as `norm3`) is
+read from the `norm3`/`norm4` key.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping
+
+import numpy as np
+from flax import traverse_util
+
+# flax module names that correspond to torch nn.Sequential children:
+# any trailing _<digits> maps to torch's '.<digits>' (layer1_0 -> layer1.0,
+# mask_0 -> mask.0, netOne_2 -> netOne.2, netMain_12 -> netMain.12, ...)
+_SEQ_RE = re.compile(r"^(.+)_(\d+)$")
+
+
+def torch_key_for_path(path: tuple, collection: str) -> str:
+    """Map a flax variable path (without collection) to the torch state_dict key."""
+    comps = []
+    for comp in path[:-1]:
+        if comp == "update_step":
+            continue  # nn.scan wrapper: torch has flow_net.update_block directly
+        if comp == "downsample_conv":
+            comps.append("downsample.0")
+            continue
+        if comp.endswith("_body"):  # ChannelLayerNorm: norm1_image_body -> norm1_image.body
+            comps.append(comp[: -len("_body")] + ".body")
+            continue
+        m = _SEQ_RE.match(comp)
+        comps.append(f"{m.group(1)}.{m.group(2)}" if m else comp)
+
+    leaf = path[-1]
+    if collection == "batch_stats":
+        leaf_name = {"mean": "running_mean", "var": "running_var"}[leaf]
+    else:
+        leaf_name = {"kernel": "weight", "scale": "weight", "bias": "bias"}.get(leaf, leaf)
+    return ".".join(comps + [leaf_name])
+
+
+def torch_state_dict_to_variables(
+    state_dict: Mapping[str, "object"],
+    variables_template: Mapping,
+    strict: bool = True,
+    prefix: str = "",
+) -> Dict:
+    """Fill a flax variables template ({'params': ..., 'batch_stats': ...})
+    from a torch state_dict (tensors or numpy arrays).
+
+    `prefix` is prepended to every torch key (e.g. 'flow_net.' when loading a
+    bare RAFT state_dict into an FFRaft tree). 'module.' prefixes (DDP) are
+    stripped, mirroring `raft.py:118-121`.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        k = k[len("module.") :] if k.startswith("module.") else k
+        arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        sd[k] = arr
+
+    flat_out = {}
+    for col, tree in variables_template.items():
+        flat = traverse_util.flatten_dict(tree)
+        for path, template_leaf in flat.items():
+            tkey = prefix + torch_key_for_path(path, col)
+            if tkey not in sd:
+                if strict:
+                    raise KeyError(
+                        f"torch key '{tkey}' (for {col}/{'/'.join(path)}) not found; "
+                        f"available sample: {list(sd)[:5]}"
+                    )
+                flat_out[(col,) + path] = template_leaf
+                continue
+            arr = sd[tkey]
+            if path[-1] == "kernel" and arr.ndim == 4:
+                arr = arr.transpose(2, 3, 1, 0)
+            elif path[-1] == "kernel" and arr.ndim == 2:
+                arr = arr.transpose(1, 0)  # nn.Linear (out, in) -> Dense (in, out)
+            expected = np.shape(template_leaf)
+            if tuple(arr.shape) != tuple(expected):
+                raise ValueError(
+                    f"shape mismatch for {tkey}: torch {arr.shape} vs flax {expected}"
+                )
+            flat_out[(col,) + path] = arr.astype(np.asarray(template_leaf).dtype)
+
+    nested = traverse_util.unflatten_dict(flat_out)
+    return {col: nested.get(col, {}) for col in variables_template}

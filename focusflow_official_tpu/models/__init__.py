@@ -1,0 +1,15 @@
+from .config import FFRaftConfig
+from .ff_raft import RAFT, FFRaft
+from .ff_pwcnet import PWCNet, FFPWCNet
+from .mask_modal import init_mask, gaussian_kernel, ellipse_kernel
+
+__all__ = [
+    "FFRaftConfig",
+    "RAFT",
+    "FFRaft",
+    "PWCNet",
+    "FFPWCNet",
+    "init_mask",
+    "gaussian_kernel",
+    "ellipse_kernel",
+]

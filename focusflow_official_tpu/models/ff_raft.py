@@ -1,0 +1,268 @@
+"""FF-RAFT: keypoint-conditioned RAFT with the Condition Control Encoder.
+
+TPU-native redesign of the reference model stack
+(`/root/reference/core/models/ff-raft/FF_RAFT_Core/raft.py` and
+`ff_raft.py:75-160`):
+
+- NHWC layout throughout; bf16-capable compute with f32 parameters;
+- the feature encoder runs ONCE over a batch-concat of both frames (the
+  reference's list trick, `extractor.py:171-174`, which is exact for the
+  instance-norm fnet) — bigger batches feed the MXU better;
+- the all-pairs correlation volume is a single (B, HW, HW) MXU matmul; the
+  4-level pyramid + windowed bilinear lookup live in `ops/corr.py`;
+- the 12/32-step ConvGRU refinement is a `nn.scan` (`lax.scan`) — one traced
+  step body, no Python-loop unrolling, per-iteration `stop_gradient` on the
+  coordinates exactly like the reference's `coords1.detach()`;
+- in test mode only the final flow is convex-upsampled; in train mode the
+  scan emits every iteration's upsampled flow for the sequence loss.
+
+Unsupported-by-design (vestigial in the reference): `alternate_corr` CUDA
+path (subsumed by the Pallas lookup), 'attention'/'conv' fusion front-ends
+(`fusion.py`/`conv_fusion.py`) are provided separately in `models/frontends.py`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.cce import BasicParallelFusionLayer
+from ..nn.encoders import BasicEncoder, ChannelProject, SmallEncoder
+from ..nn.update import BasicUpdateBlock, SmallUpdateBlock
+from ..ops.coords import coords_grid, upflow8
+from ..ops.corr import CorrPyramid, all_pairs_corr, corr_pyramid, lookup_corr_pyramid
+from ..ops.upsample import convex_upsample
+from .config import FFRaftConfig
+from .mask_modal import init_mask
+
+
+class RAFTStep(nn.Module):
+    """One GRU refinement iteration — the body of the `lax.scan`."""
+
+    small: bool
+    corr_levels: int
+    corr_radius: int
+    hidden_dim: int
+    emit_upsampled: bool
+    corr_impl: str
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, consts):
+        net, coords1, _ = carry
+        inp, coords0, levels = consts
+        pyramid = CorrPyramid(levels=levels, radius=self.corr_radius)
+
+        # Reference detaches coords each iteration (`raft.py:216`).
+        coords1 = jax.lax.stop_gradient(coords1)
+        corr = lookup_corr_pyramid(pyramid, coords1, impl=self.corr_impl).astype(self.dtype)
+        flow = (coords1 - coords0).astype(self.dtype)
+
+        if self.small:
+            block = SmallUpdateBlock(
+                self.corr_levels, self.corr_radius, self.hidden_dim,
+                name="update_block", dtype=self.dtype,
+            )
+        else:
+            block = BasicUpdateBlock(
+                self.corr_levels, self.corr_radius, self.hidden_dim,
+                name="update_block", dtype=self.dtype,
+            )
+        net, up_mask, delta_flow = block(net, inp, corr, flow)
+        coords1 = coords1 + delta_flow.astype(jnp.float32)
+
+        if up_mask is None:
+            mask_state = carry[2]  # stays None for the small model
+            flow_up = upflow8(coords1 - coords0) if self.emit_upsampled else None
+        else:
+            mask_state = up_mask.astype(jnp.float32)
+            flow_up = (
+                convex_upsample(coords1 - coords0, mask_state)
+                if self.emit_upsampled
+                else None
+            )
+        return (net, coords1, mask_state), flow_up
+
+
+class RAFT(nn.Module):
+    """RAFT core with optional inside-fusion CCE encoders (`raft.py:40-236`)."""
+
+    in_channels: int = 3
+    small: bool = False
+    dropout: float = 0.0
+    abandon_fnet: bool = False
+    inside_fusion: Optional[str] = None  # None | 'parallel'
+    fuse_cnet: bool = False
+    mask_channel: int = 3
+    fusion_type: str = "1x1conv"
+    corr_impl: str = "xla"
+    freeze_bn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        image1: jnp.ndarray,
+        image2: jnp.ndarray,
+        mask1: Optional[jnp.ndarray] = None,
+        mask2: Optional[jnp.ndarray] = None,
+        iters: int = 12,
+        flow_init: Optional[jnp.ndarray] = None,
+        test_mode: bool = False,
+        train: bool = False,
+    ):
+        d = self.dtype
+        if self.small:
+            hdim, cdim, corr_levels, corr_radius = 96, 64, 4, 3
+        else:
+            hdim, cdim, corr_levels, corr_radius = 128, 128, 4, 4
+
+        image1 = image1.astype(d)
+        image2 = image2.astype(d)
+
+        # ---- feature network (batch-concat both frames: one MXU-friendly pass)
+        if self.abandon_fnet:
+            proj = ChannelProject(self.in_channels, 128 if self.small else 256,
+                                  name="channel_pjt", dtype=d)
+            fmaps = proj(jnp.concatenate([image1, image2], axis=0))
+        elif self.inside_fusion == "parallel":
+            fnet = BasicParallelFusionLayer(
+                img_channel=3, mask_channel=self.mask_channel, output_dim=256,
+                norm_fn="instance", dropout=self.dropout,
+                fusion_type=self.fusion_type, freeze_bn=self.freeze_bn,
+                name="fnet", dtype=d,
+            )
+            fmaps = fnet(
+                jnp.concatenate([image1, image2], axis=0),
+                jnp.concatenate([mask1.astype(d), mask2.astype(d)], axis=0),
+                train=train,
+            )
+        else:
+            enc = (SmallEncoder if self.small else BasicEncoder)
+            fnet = enc(
+                self.in_channels, output_dim=128 if self.small else 256,
+                norm_fn="instance", dropout=self.dropout,
+                freeze_bn=self.freeze_bn, name="fnet", dtype=d,
+            )
+            fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train=train)
+        fmap1, fmap2 = jnp.split(fmaps.astype(jnp.float32), 2, axis=0)
+
+        pyramid = corr_pyramid(all_pairs_corr(fmap1, fmap2), corr_levels, corr_radius)
+
+        # ---- context network
+        cnet_norm = "none" if self.small else "batch"
+        if self.inside_fusion == "parallel" and self.fuse_cnet:
+            cnet_mod = BasicParallelFusionLayer(
+                img_channel=3, mask_channel=self.mask_channel, output_dim=hdim + cdim,
+                norm_fn=cnet_norm, dropout=self.dropout,
+                fusion_type=self.fusion_type, freeze_bn=self.freeze_bn,
+                name="cnet", dtype=d,
+            )
+            cnet = cnet_mod(image1, mask1.astype(d), train=train)
+        else:
+            enc = (SmallEncoder if self.small else BasicEncoder)
+            cnet_mod = enc(
+                3 if self.inside_fusion == "parallel" else self.in_channels,
+                output_dim=hdim + cdim, norm_fn=cnet_norm,
+                dropout=self.dropout, freeze_bn=self.freeze_bn,
+                name="cnet", dtype=d,
+            )
+            cnet = cnet_mod(image1, train=train)
+        net = jnp.tanh(cnet[..., :hdim])
+        inp = nn.relu(cnet[..., hdim:])
+
+        # ---- iterative refinement (lax.scan)
+        b, h, w = fmap1.shape[:3]
+        coords0 = coords_grid(b, h, w)
+        coords1 = coords0 if flow_init is None else coords0 + flow_init
+
+        Step = nn.scan(
+            RAFTStep,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=iters,
+        )
+        step = Step(
+            small=self.small,
+            corr_levels=corr_levels,
+            corr_radius=corr_radius,
+            hidden_dim=hdim,
+            emit_upsampled=not test_mode,
+            corr_impl=self.corr_impl,
+            dtype=d,
+            name="update_step",
+        )
+        mask_state0 = None if self.small else jnp.zeros((b, h, w, 64 * 9), jnp.float32)
+        (net, coords1, mask_state), flows = step(
+            (net, coords1, mask_state0), (inp, coords0, pyramid.levels)
+        )
+
+        if test_mode:
+            flow_lr = coords1 - coords0
+            if self.small:
+                flow_up = upflow8(flow_lr)
+            else:
+                flow_up = convex_upsample(flow_lr, mask_state)
+            return flow_lr, flow_up
+        return flows  # (iters, B, 8h, 8w, 2)
+
+
+class FFRaft(nn.Module):
+    """FF_RAFT_FUSION equivalent (`ff_raft.py:75-160`): mask modality prep,
+    [-1, 1] normalization, and the (optionally CCE-fused) RAFT core, exposed
+    with the reference's forward signature."""
+
+    cfg: FFRaftConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        image1: jnp.ndarray,
+        image2: jnp.ndarray,
+        mask1: Optional[jnp.ndarray] = None,
+        mask2: Optional[jnp.ndarray] = None,
+        iters: Optional[int] = None,
+        flow_init: Optional[jnp.ndarray] = None,
+        test_mode: bool = False,
+        train: bool = False,
+    ):
+        cfg = self.cfg
+        iters = cfg.iters if iters is None else iters
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        if cfg.fusion == "parallel":
+            mask1, mask2 = init_mask(
+                image1, image2, mask1, mask2,
+                mask_modal=cfg.mask_modal, mask_channel=cfg.mask_channel,
+                mask_dilate=cfg.mask_dilate, kernel_size=cfg.kernel_size,
+                kernel_sigma=cfg.kernel_sigma,
+            )
+            mask1 = 2 * (mask1 / 255.0) - 1.0
+            mask2 = 2 * (mask2 / 255.0) - 1.0
+        image1 = 2 * (image1 / 255.0) - 1.0
+        image2 = 2 * (image2 / 255.0) - 1.0
+
+        flow_net = RAFT(
+            in_channels=3,
+            small=cfg.small,
+            dropout=cfg.dropout,
+            abandon_fnet=cfg.abandon_fnet,
+            inside_fusion="parallel" if cfg.fusion == "parallel" else None,
+            fuse_cnet=cfg.fuse_cnet,
+            mask_channel=cfg.mask_channel,
+            fusion_type=cfg.fusion_type,
+            corr_impl=cfg.corr_impl,
+            freeze_bn=cfg.freeze_bn,
+            name="flow_net",
+            dtype=dtype,
+        )
+        if cfg.fusion == "parallel":
+            return flow_net(image1, image2, mask1, mask2, iters=iters,
+                            flow_init=flow_init, test_mode=test_mode, train=train)
+        return flow_net(image1, image2, iters=iters, flow_init=flow_init,
+                        test_mode=test_mode, train=train)

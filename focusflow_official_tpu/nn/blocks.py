@@ -1,0 +1,152 @@
+"""Residual building blocks for the stride-8 encoders (NHWC).
+
+Equivalents of the reference ResidualBlock / BottleneckBlock
+(`/root/reference/core/models/ff-raft/FF_RAFT_Core/extractor.py:6-116`).
+Conv kernels use kaiming-normal fan-out init (the reference's init loop,
+`extractor.py:150-157`); biases use the torch default uniform init.
+
+Note the reference quirk: the downsample branch reuses the block's `norm3`
+(`norm4` for bottleneck) module instance; we name our downsample norm the
+same so torch checkpoints map directly.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .norm import Norm
+
+kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def torch_bias_init(key, shape, dtype, fan_in: int):
+    bound = 1.0 / np.sqrt(fan_in)
+    import jax.random as jrandom
+
+    return jrandom.uniform(key, shape, dtype, -bound, bound)
+
+
+def conv2d(
+    features: int,
+    kernel: int | tuple[int, int],
+    stride: int | tuple[int, int] = 1,
+    padding: int | tuple[int, int] | None = None,
+    use_bias: bool = True,
+    name: str | None = None,
+    dtype=jnp.float32,
+    in_features: int | None = None,
+) -> nn.Conv:
+    """A torch-convention Conv2d: explicit symmetric zero padding (default k//2)."""
+    if isinstance(kernel, int):
+        kernel = (kernel, kernel)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if padding is None:
+        padding = (kernel[0] // 2, kernel[1] // 2)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    pad = ((padding[0], padding[0]), (padding[1], padding[1]))
+
+    if use_bias and in_features is not None:
+        fan_in = in_features * kernel[0] * kernel[1]
+        bias_init = lambda key, shape, dtype=jnp.float32: torch_bias_init(key, shape, dtype, fan_in)
+    else:
+        bias_init = nn.initializers.zeros
+    # HIGHEST keeps f32 convs at full precision (free for bf16 inputs, which
+    # already use the MXU's native bf16xbf16->f32 path).
+    return nn.Conv(
+        features,
+        kernel,
+        strides=stride,
+        padding=pad,
+        use_bias=use_bias,
+        kernel_init=kaiming_out,
+        bias_init=bias_init,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+        name=name,
+    )
+
+
+def conv_transpose2d(
+    features: int,
+    kernel: int = 4,
+    stride: int = 2,
+    name: str | None = None,
+    dtype=jnp.float32,
+) -> nn.ConvTranspose:
+    """torch ConvTranspose2d(k=4, s=2, p=1) equivalent (exact 2x upsample).
+
+    Empirically flax needs padding ((2,2),(2,2)) + transpose_kernel=True to
+    reproduce torch's semantics; the torch weight (I, O, kh, kw) maps with the
+    same (2,3,1,0) transpose as regular convs.
+    """
+    k = (kernel, kernel)
+    return nn.ConvTranspose(
+        features,
+        k,
+        strides=(stride, stride),
+        padding=((2, 2), (2, 2)),
+        transpose_kernel=True,
+        kernel_init=kaiming_out,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+        name=name,
+    )
+
+
+class ResidualBlock(nn.Module):
+    in_planes: int
+    planes: int
+    norm_fn: str = "group"
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
+        d = self.dtype
+        num_groups = self.planes // 8
+        y = conv2d(self.planes, 3, self.stride, 1, name="conv1", dtype=d, in_features=self.in_planes)(x)
+        y = Norm(self.norm_fn, self.planes, num_groups, name="norm1", dtype=d)(y, use_running_average)
+        y = nn.relu(y)
+        y = conv2d(self.planes, 3, 1, 1, name="conv2", dtype=d, in_features=self.planes)(y)
+        y = Norm(self.norm_fn, self.planes, num_groups, name="norm2", dtype=d)(y, use_running_average)
+        y = nn.relu(y)
+
+        if self.stride != 1:
+            x = conv2d(self.planes, 1, self.stride, 0, name="downsample_conv", dtype=d, in_features=self.in_planes)(x)
+            x = Norm(self.norm_fn, self.planes, num_groups, name="norm3", dtype=d)(x, use_running_average)
+        return nn.relu(x + y)
+
+
+class BottleneckBlock(nn.Module):
+    in_planes: int
+    planes: int
+    norm_fn: str = "group"
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
+        d = self.dtype
+        p4 = self.planes // 4
+        num_groups = self.planes // 8
+        y = conv2d(p4, 1, 1, 0, name="conv1", dtype=d, in_features=self.in_planes)(x)
+        y = Norm(self.norm_fn, p4, num_groups, name="norm1", dtype=d)(y, use_running_average)
+        y = nn.relu(y)
+        y = conv2d(p4, 3, self.stride, 1, name="conv2", dtype=d, in_features=p4)(y)
+        y = Norm(self.norm_fn, p4, num_groups, name="norm2", dtype=d)(y, use_running_average)
+        y = nn.relu(y)
+        y = conv2d(self.planes, 1, 1, 0, name="conv3", dtype=d, in_features=p4)(y)
+        y = Norm(self.norm_fn, self.planes, num_groups, name="norm3", dtype=d)(y, use_running_average)
+        y = nn.relu(y)
+
+        if self.stride != 1:
+            x = conv2d(self.planes, 1, self.stride, 0, name="downsample_conv", dtype=d, in_features=self.in_planes)(x)
+            x = Norm(self.norm_fn, self.planes, num_groups, name="norm4", dtype=d)(x, use_running_average)
+        return nn.relu(x + y)

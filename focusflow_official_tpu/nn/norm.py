@@ -1,0 +1,78 @@
+"""Normalization layers with torch-equivalent semantics (NHWC).
+
+One `Norm` module covers the four kinds the reference encoders select from
+(`/root/reference/core/models/ff-raft/FF_RAFT_Core/extractor.py:16-38`):
+
+- 'group'    : GroupNorm, affine, eps 1e-5 (torch nn.GroupNorm defaults)
+- 'batch'    : BatchNorm, affine, running stats (momentum 0.1), eps 1e-5
+- 'instance' : InstanceNorm, NO affine, NO running stats (torch
+               nn.InstanceNorm2d defaults), eps 1e-5
+- 'none'     : identity
+
+Parameters live flat on this module ('scale'/'bias', batch stats 'mean'/'var')
+so torch checkpoint paths map 1:1 (e.g. `norm1.weight` -> `norm1/scale`).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class Norm(nn.Module):
+    kind: str  # 'group' | 'batch' | 'instance' | 'none'
+    features: int
+    num_groups: int = 8
+    epsilon: float = 1e-5
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
+        kind = self.kind
+        if kind == "none":
+            return x
+        c = self.features
+        xf = x.astype(jnp.float32)
+
+        if kind == "group":
+            b, h, w, _ = xf.shape
+            g = self.num_groups
+            xg = xf.reshape(b, h, w, g, c // g)
+            mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+            var = xg.var(axis=(1, 2, 4), keepdims=True)
+            xg = (xg - mean) / jnp.sqrt(var + self.epsilon)
+            out = xg.reshape(b, h, w, c)
+            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            out = out * scale + bias
+
+        elif kind == "instance":
+            mean = xf.mean(axis=(1, 2), keepdims=True)
+            var = xf.var(axis=(1, 2), keepdims=True)
+            out = (xf - mean) / jnp.sqrt(var + self.epsilon)
+
+        elif kind == "batch":
+            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+            ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+            if use_running_average:
+                mean, var = ra_mean.value, ra_var.value
+            else:
+                mean = xf.mean(axis=(0, 1, 2))
+                var = xf.var(axis=(0, 1, 2))
+                if not self.is_initializing():
+                    n = xf.shape[0] * xf.shape[1] * xf.shape[2]
+                    # torch updates running_var with the unbiased estimate.
+                    unbiased = var * (n / max(n - 1, 1))
+                    m = self.momentum
+                    ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                    ra_var.value = (1 - m) * ra_var.value + m * unbiased
+            out = (xf - mean) / jnp.sqrt(var + self.epsilon)
+            out = out * scale + bias
+
+        else:
+            raise ValueError(f"Unknown norm kind: {kind}")
+
+        return out.astype(self.dtype)

@@ -1,0 +1,150 @@
+"""RAFT iterative update blocks: motion encoders, ConvGRU variants, FlowHead.
+
+NHWC equivalents of the reference update modules
+(`/root/reference/core/models/ff-raft/FF_RAFT_Core/update.py`). These run
+inside the `lax.scan` refinement loop, so every conv here is on the training
+and inference hot path; XLA fuses the gate nonlinearities into the convs.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .blocks import conv2d
+
+
+class FlowHead(nn.Module):
+    input_dim: int = 128
+    hidden_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = self.dtype
+        x = conv2d(self.hidden_dim, 3, 1, 1, name="conv1", dtype=d, in_features=self.input_dim)(x)
+        x = nn.relu(x)
+        return conv2d(2, 3, 1, 1, name="conv2", dtype=d, in_features=self.hidden_dim)(x)
+
+
+class ConvGRU(nn.Module):
+    hidden_dim: int = 128
+    input_dim: int = 192 + 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        d = self.dtype
+        cin = self.hidden_dim + self.input_dim
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(conv2d(self.hidden_dim, 3, 1, 1, name="convz", dtype=d, in_features=cin)(hx))
+        r = nn.sigmoid(conv2d(self.hidden_dim, 3, 1, 1, name="convr", dtype=d, in_features=cin)(hx))
+        q = nn.tanh(
+            conv2d(self.hidden_dim, 3, 1, 1, name="convq", dtype=d, in_features=cin)(
+                jnp.concatenate([r * h, x], axis=-1)
+            )
+        )
+        return (1 - z) * h + z * q
+
+
+class SepConvGRU(nn.Module):
+    """Separable GRU: a horizontal (1x5) pass then a vertical (5x1) pass."""
+
+    hidden_dim: int = 128
+    input_dim: int = 192 + 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        d = self.dtype
+        hd = self.hidden_dim
+        cin = hd + self.input_dim
+
+        for suffix, kern, pad in (("1", (1, 5), (0, 2)), ("2", (5, 1), (2, 0))):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(conv2d(hd, kern, 1, pad, name=f"convz{suffix}", dtype=d, in_features=cin)(hx))
+            r = nn.sigmoid(conv2d(hd, kern, 1, pad, name=f"convr{suffix}", dtype=d, in_features=cin)(hx))
+            q = nn.tanh(
+                conv2d(hd, kern, 1, pad, name=f"convq{suffix}", dtype=d, in_features=cin)(
+                    jnp.concatenate([r * h, x], axis=-1)
+                )
+            )
+            h = (1 - z) * h + z * q
+        return h
+
+
+class SmallMotionEncoder(nn.Module):
+    corr_levels: int
+    corr_radius: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
+        d = self.dtype
+        cor_planes = self.corr_levels * (2 * self.corr_radius + 1) ** 2
+        cor = nn.relu(conv2d(96, 1, 1, 0, name="convc1", dtype=d, in_features=cor_planes)(corr))
+        flo = nn.relu(conv2d(64, 7, 1, 3, name="convf1", dtype=d, in_features=2)(flow))
+        flo = nn.relu(conv2d(32, 3, 1, 1, name="convf2", dtype=d, in_features=64)(flo))
+        out = nn.relu(
+            conv2d(80, 3, 1, 1, name="conv", dtype=d, in_features=128)(
+                jnp.concatenate([cor, flo], axis=-1)
+            )
+        )
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class BasicMotionEncoder(nn.Module):
+    corr_levels: int
+    corr_radius: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
+        d = self.dtype
+        cor_planes = self.corr_levels * (2 * self.corr_radius + 1) ** 2
+        cor = nn.relu(conv2d(256, 1, 1, 0, name="convc1", dtype=d, in_features=cor_planes)(corr))
+        cor = nn.relu(conv2d(192, 3, 1, 1, name="convc2", dtype=d, in_features=256)(cor))
+        flo = nn.relu(conv2d(128, 7, 1, 3, name="convf1", dtype=d, in_features=2)(flow))
+        flo = nn.relu(conv2d(64, 3, 1, 1, name="convf2", dtype=d, in_features=128)(flo))
+        out = nn.relu(
+            conv2d(128 - 2, 3, 1, 1, name="conv", dtype=d, in_features=64 + 192)(
+                jnp.concatenate([cor, flo], axis=-1)
+            )
+        )
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class SmallUpdateBlock(nn.Module):
+    corr_levels: int
+    corr_radius: int
+    hidden_dim: int = 96
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        d = self.dtype
+        motion = SmallMotionEncoder(self.corr_levels, self.corr_radius, name="encoder", dtype=d)(flow, corr)
+        inp = jnp.concatenate([inp, motion], axis=-1)
+        net = ConvGRU(self.hidden_dim, 82 + 64, name="gru", dtype=d)(net, inp)
+        delta_flow = FlowHead(self.hidden_dim, 128, name="flow_head", dtype=d)(net)
+        return net, None, delta_flow
+
+
+class BasicUpdateBlock(nn.Module):
+    corr_levels: int
+    corr_radius: int
+    hidden_dim: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        d = self.dtype
+        motion = BasicMotionEncoder(self.corr_levels, self.corr_radius, name="encoder", dtype=d)(flow, corr)
+        inp = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(self.hidden_dim, 128 + self.hidden_dim, name="gru", dtype=d)(net, inp)
+        delta_flow = FlowHead(self.hidden_dim, 256, name="flow_head", dtype=d)(net)
+
+        # 0.25x scale balances gradients into the upsample mask (`update.py:134`).
+        m = nn.relu(conv2d(256, 3, 1, 1, name="mask_0", dtype=d, in_features=128)(net))
+        up_mask = 0.25 * conv2d(64 * 9, 1, 1, 0, name="mask_2", dtype=d, in_features=256)(m)
+        return net, up_mask, delta_flow

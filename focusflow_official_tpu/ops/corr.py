@@ -1,0 +1,133 @@
+"""All-pairs 4D correlation volume, pyramid, and windowed bilinear lookup.
+
+TPU-native redesign of RAFT's CorrBlock
+(`/root/reference/core/models/ff-raft/FF_RAFT_Core/corr.py:12-60`):
+
+- the all-pairs volume is one big (B, HW, HW) matmul — MXU food — scaled by
+  1/sqrt(C) and kept in HBM;
+- the 4-level pyramid is built with floor-semantics 2x2 average pooling over
+  the *second* image's spatial axes;
+- the per-iteration (2r+1)^2-window lookup is a gather-based bilinear sample
+  (`lookup_corr_pyramid`), matching the reference's channel ordering exactly:
+  within a level, the offset added to x varies slowest (the reference adds the
+  meshgrid's (dy, dx) to (x, y), so its window is transposed relative to naive
+  expectations — see `corr.py:39-43`); levels are concatenated coarse-last.
+
+The functional interface keeps everything jit-friendly: `CorrPyramid` is a
+NamedTuple pytree carried through `lax.scan`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .pool import avg_pool2x2
+from .pallas_lookup import lookup_corr_pyramid_pallas, pallas_lookup_supported
+
+
+class CorrPyramid(NamedTuple):
+    """Correlation pyramid: per level an array (B, H1*W1, H2_l, W2_l)."""
+
+    levels: Tuple[jnp.ndarray, ...]
+    radius: int
+
+
+def all_pairs_corr(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs correlation of NHWC feature maps -> (B, H*W, H, W).
+
+    corr[b, q, y, x] = <fmap1[b, q], fmap2[b, y, x]> / sqrt(C)
+    (reference: `corr.py:52-60`). The contraction runs on the MXU in fp32
+    accumulation regardless of input dtype.
+    """
+    b, h, w, c = fmap1.shape
+    f1 = fmap1.reshape(b, h * w, c)
+    f2 = fmap2.reshape(b, h * w, c)
+    # HIGHEST keeps f32 inputs at full precision (bf16 inputs already
+    # accumulate in f32 on the MXU, so this costs nothing on the bf16 path).
+    corr = jnp.einsum(
+        "bqc,bpc->bqp",
+        f1,
+        f2,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    corr = corr / jnp.sqrt(jnp.array(c, jnp.float32))
+    return corr.reshape(b, h * w, h, w)
+
+
+def corr_pyramid(corr: jnp.ndarray, num_levels: int = 4, radius: int = 4) -> CorrPyramid:
+    """Build the average-pooled pyramid over the last two (target) axes."""
+    levels = [corr]
+    for _ in range(num_levels - 1):
+        corr = avg_pool2x2(corr)
+        levels.append(corr)
+    return CorrPyramid(levels=tuple(levels), radius=radius)
+
+
+def _lookup_level(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Bilinear window lookup on one pyramid level.
+
+    corr_l: (B, Q, H2, W2); coords: (B, H1, W1, 2) already scaled to this
+    level's resolution. Returns (B, H1, W1, (2r+1)^2) with the reference's
+    channel order (x-offset-major).
+    """
+    b, q, h2, w2 = corr_l.shape
+    _, h1, w1, _ = coords.shape
+    k = 2 * radius + 1
+
+    d = jnp.linspace(-radius, radius, k, dtype=jnp.float32)
+    # Reference quirk (`corr.py:39-43`): delta[..., 0] (added to x) comes from
+    # the *first* meshgrid axis, so x-offset varies slowest in the flat window.
+    dx = jnp.repeat(d, k)  # (K2,) x-offset, slow axis
+    dy = jnp.tile(d, k)  # (K2,) y-offset, fast axis
+    k2 = k * k
+
+    cx = coords[..., 0].reshape(b, q)[..., None] + dx[None, None, :]  # (B, Q, K2)
+    cy = coords[..., 1].reshape(b, q)[..., None] + dy[None, None, :]
+
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    wx1 = cx - x0
+    wy1 = cy - y0
+
+    corr_flat = corr_l.reshape(b, q, h2 * w2)
+
+    def tap(xi, yi, wgt):
+        valid = (xi >= 0) & (xi <= w2 - 1) & (yi >= 0) & (yi <= h2 - 1)
+        xi_c = jnp.clip(xi, 0, w2 - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h2 - 1).astype(jnp.int32)
+        idx = yi_c * w2 + xi_c  # (B, Q, K2)
+        vals = jnp.take_along_axis(corr_flat, idx, axis=2)
+        return vals * jnp.where(valid, wgt, 0.0).astype(vals.dtype)
+
+    out = (
+        tap(x0, y0, (1 - wx1) * (1 - wy1))
+        + tap(x0 + 1, y0, wx1 * (1 - wy1))
+        + tap(x0, y0 + 1, (1 - wx1) * wy1)
+        + tap(x0 + 1, y0 + 1, wx1 * wy1)
+    )
+    return out.reshape(b, h1, w1, k2)
+
+
+def lookup_corr_pyramid(
+    pyramid: CorrPyramid, coords: jnp.ndarray, impl: str = "auto"
+) -> jnp.ndarray:
+    """Look up the (2r+1)^2 window at `coords` on every level, concat channels.
+
+    coords: (B, H1, W1, 2) level-0 pixel coordinates, (x, y) order.
+    Returns (B, H1, W1, L*(2r+1)^2), levels ordered fine-to-coarse — the NHWC
+    equivalent of the reference CorrBlock.__call__ (`corr.py:29-50`).
+
+    impl: 'auto' (pallas on TPU, xla elsewhere), 'xla', or 'pallas'.
+    """
+    if impl == "auto":
+        impl = "pallas" if pallas_lookup_supported() else "xla"
+    if impl == "pallas":
+        return lookup_corr_pyramid_pallas(pyramid.levels, coords, pyramid.radius)
+    outs = []
+    for i, corr_l in enumerate(pyramid.levels):
+        outs.append(_lookup_level(corr_l, coords / (2.0**i), pyramid.radius))
+    return jnp.concatenate(outs, axis=-1)

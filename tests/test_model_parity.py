@@ -1,0 +1,137 @@
+"""Numeric parity gates: our flax models vs the torch reference (CPU).
+
+Strategy (SURVEY.md §7.4): random-init the reference model, export its
+state_dict, import into our flax tree with `torch_state_dict_to_variables`,
+run both on the same input, and compare flow fields. Tolerance 1e-2 px max
+abs (fp32), usually far tighter at these tiny sizes.
+"""
+
+import argparse
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from conftest import requires_reference
+from focusflow_official_tpu.compat import torch_state_dict_to_variables
+from focusflow_official_tpu.models import FFRaft, FFRaftConfig, RAFT
+
+RNG = np.random.RandomState(42)
+
+
+def to_nchw(x):
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+def to_nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def make_ref_cfg(fusion_type="1x1conv", mask_channel=3, mask_modal="point"):
+    return argparse.Namespace(
+        MODEL=argparse.Namespace(FUSION_TYPE=fusion_type, LOAD_MODULE_TO_BRANCH=False),
+        TRAIN=argparse.Namespace(
+            MASK_CHANNEL=mask_channel, MASK_MODAL=mask_modal, MASK_DILATE=31,
+            KERNEL_SIZE=31, KERNEL_SIGMA=5,
+        ),
+    )
+
+
+@requires_reference
+class TestVanillaRAFTParity:
+    def _run_pair(self, ref_model, our_model, inputs_nchw, iters, variables):
+        ref_model.eval()
+        with torch.no_grad():
+            ref_lr, ref_up = ref_model(
+                *[torch.from_numpy(x) for x in inputs_nchw], iters=iters, test_mode=True
+            )
+        ours_lr, ours_up = our_model.apply(
+            variables,
+            *[jnp.asarray(to_nhwc(x)) for x in inputs_nchw],
+            iters=iters,
+            test_mode=True,
+        )
+        np.testing.assert_allclose(
+            to_nchw(np.asarray(ours_up)), ref_up.numpy(), atol=1e-2, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            to_nchw(np.asarray(ours_lr)), ref_lr.numpy(), atol=1e-2, rtol=1e-4
+        )
+
+    def test_basic(self, ref_ffraft_modules):
+        ref_raft, _, _ = ref_ffraft_modules
+        torch.manual_seed(0)
+        ref = ref_raft.RAFT(small=False)
+
+        img1 = RNG.rand(1, 3, 128, 160).astype(np.float32) * 2 - 1
+        img2 = RNG.rand(1, 3, 128, 160).astype(np.float32) * 2 - 1
+
+        ours = RAFT(small=False)
+        template = ours.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(to_nhwc(img1)),
+            jnp.asarray(to_nhwc(img2)),
+            iters=1,
+        )
+        variables = torch_state_dict_to_variables(ref.state_dict(), template)
+        variables = jax.tree.map(jnp.asarray, variables)
+        self._run_pair(ref, ours, (img1, img2), 4, variables)
+
+    def test_small(self, ref_ffraft_modules):
+        ref_raft, _, _ = ref_ffraft_modules
+        torch.manual_seed(1)
+        ref = ref_raft.RAFT(small=True)
+
+        img1 = RNG.rand(1, 3, 128, 160).astype(np.float32) * 2 - 1
+        img2 = RNG.rand(1, 3, 128, 160).astype(np.float32) * 2 - 1
+
+        ours = RAFT(small=True)
+        template = ours.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(to_nhwc(img1)),
+            jnp.asarray(to_nhwc(img2)),
+            iters=1,
+        )
+        variables = torch_state_dict_to_variables(ref.state_dict(), template)
+        variables = jax.tree.map(jnp.asarray, variables)
+        self._run_pair(ref, ours, (img1, img2), 3, variables)
+
+
+@requires_reference
+@pytest.mark.parametrize("fusion_type", ["1x1conv", "SA", "CA", "concat"])
+def test_ff_raft_parallel_parity(ref_ffraft_modules, fusion_type):
+    """Full FF-RAFT (CCE parallel fusion + fuse_cnet) parity, the flagship path."""
+    _, ref_ff_raft, _ = ref_ffraft_modules
+    cfg = make_ref_cfg(fusion_type=fusion_type)
+    torch.manual_seed(2)
+    ref = ref_ff_raft.FF_RAFT_FUSION(
+        use_fusion="parallel", fusion_channels=256, raft_small=False,
+        fuse_cnet=True, cfg=cfg,
+    )
+    ref.eval()
+
+    img1 = (RNG.rand(1, 3, 128, 160) * 255).astype(np.float32)
+    img2 = (RNG.rand(1, 3, 128, 160) * 255).astype(np.float32)
+    mask1 = (RNG.rand(1, 1, 128, 160) > 0.95).astype(np.float32) * 255
+    mask2 = (RNG.rand(1, 1, 128, 160) > 0.95).astype(np.float32) * 255
+
+    with torch.no_grad():
+        ref_lr, ref_up = ref(
+            torch.from_numpy(img1), torch.from_numpy(img2),
+            torch.from_numpy(mask1), torch.from_numpy(mask2),
+            raft_iters=3, test_mode=True,
+        )
+
+    ours = FFRaft(FFRaftConfig(fusion="parallel", fusion_type=fusion_type, fuse_cnet=True))
+    args = [jnp.asarray(to_nhwc(x)) for x in (img1, img2, mask1, mask2)]
+    template = ours.init(jax.random.PRNGKey(0), *args, iters=1)
+    variables = torch_state_dict_to_variables(ref.state_dict(), template)
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    ours_lr, ours_up = ours.apply(variables, *args, iters=3, test_mode=True)
+    np.testing.assert_allclose(
+        to_nchw(np.asarray(ours_up)), ref_up.numpy(), atol=1e-2, rtol=1e-4
+    )
