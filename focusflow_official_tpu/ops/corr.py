@@ -112,6 +112,45 @@ def _lookup_level(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int) -> jnp.
     return out.reshape(b, h1, w1, k2)
 
 
+def _tent_weights(pos: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Dense linear-interpolation ("tent") weights: (..., K, size).
+
+    w[..., k, t] = max(0, 1 - |pos[..., k] - t|). Rows fully outside
+    [0, size-1] get all-zero weights — exactly grid_sample's zero padding.
+    """
+    t = jnp.arange(size, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - t))
+
+
+def _lookup_level_mxu(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int,
+                      dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Gather-free window lookup: two batched tent-weight matmuls (MXU).
+
+    out[q, i, j] = sum_{Y,X} tent(cx+d_i - X) * tent(cy+d_j - Y) * corr[q, Y, X]
+    — exact bilinear sampling of the (2r+1)^2 window with zero padding,
+    reformulated as dense contractions because XLA gathers serialize on TPU
+    while small batched matmuls ride the MXU. Channel order (i = x-offset
+    slow, j = y-offset fast) matches the reference quirk (`corr.py:39-43`).
+    """
+    b, q, h2, w2 = corr_l.shape
+    _, h1, w1, _ = coords.shape
+    k = 2 * radius + 1
+
+    d = jnp.linspace(-radius, radius, k, dtype=jnp.float32)
+    cx = coords[..., 0].reshape(b, q)  # (B, Q)
+    cy = coords[..., 1].reshape(b, q)
+
+    sx = _tent_weights(cx[..., None] + d, w2).astype(dtype)  # (B, Q, K, W2)
+    sy = _tent_weights(cy[..., None] + d, h2).astype(dtype)  # (B, Q, K, H2)
+    c = corr_l.astype(dtype)
+
+    # T[b,q,y,i] = sum_x corr[b,q,y,x] * sx[b,q,i,x]
+    t = jnp.einsum("bqyx,bqix->bqyi", c, sx)
+    # out[b,q,i,j] = sum_y sy[b,q,j,y] * T[b,q,y,i]
+    out = jnp.einsum("bqjy,bqyi->bqij", sy, t)
+    return out.reshape(b, h1, w1, k * k).astype(jnp.float32)
+
+
 def lookup_corr_pyramid(
     pyramid: CorrPyramid, coords: jnp.ndarray, impl: str = "auto"
 ) -> jnp.ndarray:
@@ -121,13 +160,20 @@ def lookup_corr_pyramid(
     Returns (B, H1, W1, L*(2r+1)^2), levels ordered fine-to-coarse — the NHWC
     equivalent of the reference CorrBlock.__call__ (`corr.py:29-50`).
 
-    impl: 'auto' (pallas on TPU, xla elsewhere), 'xla', or 'pallas'.
+    impl:
+      'auto'   — 'mxu' (the TPU-fast path) unless overridden
+      'xla'    — gather-based (exact f32; reference for parity tests)
+      'mxu'    — tent-weight batched matmuls, bf16 inputs / f32 accumulation
+      'pallas' — fused Pallas kernel (when available)
     """
     if impl == "auto":
-        impl = "pallas" if pallas_lookup_supported() else "xla"
+        impl = "pallas" if pallas_lookup_supported() else "mxu"
     if impl == "pallas":
         return lookup_corr_pyramid_pallas(pyramid.levels, coords, pyramid.radius)
     outs = []
     for i, corr_l in enumerate(pyramid.levels):
-        outs.append(_lookup_level(corr_l, coords / (2.0**i), pyramid.radius))
+        if impl == "mxu":
+            outs.append(_lookup_level_mxu(corr_l, coords / (2.0**i), pyramid.radius))
+        else:
+            outs.append(_lookup_level(corr_l, coords / (2.0**i), pyramid.radius))
     return jnp.concatenate(outs, axis=-1)
