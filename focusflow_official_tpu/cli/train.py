@@ -18,11 +18,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import load_yaml_config, loss_kwargs_from_yaml, model_config_from_yaml
+from ..config import (
+    detect_family,
+    flowformer_config_from_yaml,
+    load_yaml_config,
+    loss_kwargs_from_yaml,
+    model_config_from_yaml,
+    multiscale_loss_kwargs_from_yaml,
+    optimizer_kwargs_from_yaml,
+)
 from ..data.datasets import KITTI, FlyingChairs, MpiSintel, fetch_dataset
 from ..data.loader import Loader
-from ..losses import build_sequence_loss
-from ..models import FFRaft
+from ..losses import build_multiscale_loss, build_sequence_loss
+from ..models import FFPWCNet, FFRaft, PWCNet
+from ..models.ff_flowformer import FFFlowFormer, FlowFormer
 from ..train import evaluate as eval_mod
 from ..train.checkpoints import CheckpointManager, save_params_only
 from ..train.loop import build_optimizer, create_train_state, make_train_step
@@ -58,11 +67,45 @@ def load_torch_pretrained(path: str, template, *, prefix: str = "", backend: boo
     return torch_state_dict_to_variables(sd, template, strict=strict, prefix=prefix)
 
 
+def build_model_and_loss(cfg, args):
+    """Dispatch the model family + loss family from the YAML schema.
+
+    Replaces the reference's three near-identical per-family train.py copies
+    (SURVEY.md §2.7) with one trainer.
+    """
+    family = detect_family(cfg)
+    stage = cfg.TRAIN.get("STAGE", "chairs")
+    if family == "flowformer":
+        model_cfg = flowformer_config_from_yaml(
+            cfg, compute_dtype=args.compute_dtype, corr_impl=args.corr_impl
+        )
+        model = (FFFlowFormer if model_cfg.fusion == "parallel" else FlowFormer)(model_cfg)
+        kw = loss_kwargs_from_yaml(cfg)
+        loss_fn = build_sequence_loss(kw.pop("loss_type"), **kw)
+        iters = model_cfg.decoder_depth
+    elif family == "pwcnet":
+        model_cfg = model_config_from_yaml(
+            cfg, compute_dtype=args.compute_dtype, corr_impl=args.corr_impl
+        )
+        model = (FFPWCNet(model_cfg) if model_cfg.fusion == "parallel"
+                 else PWCNet())
+        kw = multiscale_loss_kwargs_from_yaml(cfg, sparse=stage == "kitti")
+        loss_fn = build_multiscale_loss(kw.pop("loss_type"), **kw)
+        iters = None
+    else:
+        model_cfg = model_config_from_yaml(
+            cfg, compute_dtype=args.compute_dtype, corr_impl=args.corr_impl
+        )
+        model = FFRaft(model_cfg)
+        kw = loss_kwargs_from_yaml(cfg)
+        loss_fn = build_sequence_loss(kw.pop("loss_type"), **kw)
+        iters = model_cfg.iters
+    return family, model_cfg, model, loss_fn, iters
+
+
 def train(args) -> int:
     cfg = load_yaml_config(args.yaml)
-    model_cfg = model_config_from_yaml(
-        cfg, compute_dtype=args.compute_dtype, corr_impl=args.corr_impl
-    )
+    family, model_cfg, model, loss_fn, model_iters = build_model_and_loss(cfg, args)
     seed = int(cfg.GLOBAL.get("SEED", 1234))
 
     mesh = make_mesh()
@@ -100,9 +143,10 @@ def train(args) -> int:
     logger.info(f"training with {len(dataset)} image pairs")
 
     # ---- model + optimizer
-    model = FFRaft(model_cfg)
     num_steps = int(cfg.TRAIN.NUM_STEPS)
-    schedule = one_cycle_lr(float(cfg.SCHEDULER.LR), num_steps + 100, pct_start=0.05)
+    opt_kwargs = optimizer_kwargs_from_yaml(cfg)
+    schedule = one_cycle_lr(opt_kwargs.pop("lr"), num_steps + 100, pct_start=0.05)
+    clip = opt_kwargs.pop("clip")
     freeze_labels = None
 
     example = next(iter(loader.batches()))
@@ -110,13 +154,7 @@ def train(args) -> int:
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
 
-    tx = build_optimizer(
-        schedule,
-        weight_decay=float(cfg.OPTIMIZER.WEIGHT_DECAY),
-        epsilon=float(cfg.OPTIMIZER.EPSILON),
-        clip=float(cfg.TRAIN.CLIP),
-        freeze_labels=freeze_labels,
-    )
+    tx = build_optimizer(schedule, clip=clip, freeze_labels=freeze_labels, **opt_kwargs)
     state = create_train_state(model, init_rng, example, tx)
 
     # pretrained / transfer loads (reference `ff_raft.py:112-118`, `raft.py:115-148`)
@@ -125,20 +163,21 @@ def train(args) -> int:
         v = load_torch_pretrained(cfg.MODEL.PRETRAIN, template)
         state = state.replace(params=v["params"], batch_stats=v["batch_stats"])
     if cfg.MODEL.get("LOAD_MODULE"):
+        prefix = "flow_net." if family == "raft" else ""
         v = load_torch_pretrained(
-            cfg.MODEL.LOAD_MODULE, template, prefix="flow_net.", strict=False
+            cfg.MODEL.LOAD_MODULE, template, prefix=prefix, strict=False
         )
         state = state.replace(params=v["params"], batch_stats=v["batch_stats"])
         if cfg.MODEL.get("LOAD_MODULE_TO_BRANCH"):
             v = copy_to_branch({"params": state.params})
             state = state.replace(params=v["params"])
+    if cfg.MODEL.get("load_former"):  # FlowFormer transfer load
+        v = load_torch_pretrained(cfg.MODEL.load_former, template, strict=False)
+        state = state.replace(params=v["params"], batch_stats=v["batch_stats"])
     if cfg.MODEL.get("FREEZE_MODULE"):
         freeze_labels = freeze_mask_for_parallel(state.params)
-        tx = build_optimizer(
-            schedule, weight_decay=float(cfg.OPTIMIZER.WEIGHT_DECAY),
-            epsilon=float(cfg.OPTIMIZER.EPSILON), clip=float(cfg.TRAIN.CLIP),
-            freeze_labels=freeze_labels,
-        )
+        tx = build_optimizer(schedule, clip=clip, freeze_labels=freeze_labels,
+                             **opt_kwargs)
         state = state.replace(tx=tx, opt_state=tx.init(state.params))
 
     ckpt = CheckpointManager(os.path.join(logger.log_dir, "checkpoints"))
@@ -151,10 +190,7 @@ def train(args) -> int:
     # replicate state over the mesh; batches get sharded over `data`
     state = jax.device_put(state, replicate(mesh))
 
-    loss_kwargs = loss_kwargs_from_yaml(cfg)
-    loss_type = loss_kwargs.pop("loss_type")
-    loss_fn = build_sequence_loss(loss_type, **loss_kwargs)
-    step_fn = make_train_step(loss_fn, iters=model_cfg.iters,
+    step_fn = make_train_step(loss_fn, iters=model_iters,
                               add_noise=bool(cfg.TRAIN.get("ADD_NOISE", False)))
 
     val_freq = args.val_freq

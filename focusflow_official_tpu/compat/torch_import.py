@@ -31,6 +31,10 @@ from flax import traverse_util
 # mask_0 -> mask.0, netOne_2 -> netOne.2, netMain_12 -> netMain.12, ...)
 _SEQ_RE = re.compile(r"^(.+)_(\d+)$")
 
+# ...except torch attribute names that genuinely contain a trailing _<digit>
+# (the UNet fusion front-end, `fusion.py:45-47,168`)
+_LITERAL_NAMES = {"conv_1", "conv_2", "conv_01"}
+
 
 def torch_key_for_path(path: tuple, collection: str) -> str:
     """Map a flax variable path (without collection) to the torch state_dict key."""
@@ -43,6 +47,9 @@ def torch_key_for_path(path: tuple, collection: str) -> str:
             continue
         if comp.endswith("_body"):  # ChannelLayerNorm: norm1_image_body -> norm1_image.body
             comps.append(comp[: -len("_body")] + ".body")
+            continue
+        if comp in _LITERAL_NAMES:
+            comps.append(comp)
             continue
         m = _SEQ_RE.match(comp)
         comps.append(f"{m.group(1)}.{m.group(2)}" if m else comp)

@@ -78,3 +78,93 @@ def loss_kwargs_from_yaml(cfg: ConfigNode) -> Dict:
         sigma=float(t.get("LOSS_SIGMA", 1.7)),
         lamda=float(t.get("LOSS_LAMDA", 0.8)),
     )
+
+
+def detect_family(cfg: ConfigNode) -> str:
+    """Infer the model family from the YAML shape.
+
+    The reference splits by directory (ff-raft/ff-pwcnet/ff-flowformer with
+    per-family train.py); the schemas differ recognizably: FlowFormer has a
+    TRAINER section + latentcostformer keys; PWC's TRAIN carries
+    LOSS_MODE/LOSS_WEIGHTS (multiscale family); otherwise RAFT.
+    An explicit MODEL.FAMILY always wins.
+    """
+    fam = cfg.MODEL.get("FAMILY")
+    if fam:
+        return str(fam).lower()
+    if cfg.get("TRAINER") is not None or cfg.MODEL.get("cost_latent_dim") is not None:
+        return "flowformer"
+    if cfg.TRAIN.get("LOSS_WEIGHTS") is not None:
+        return "pwcnet"
+    return "raft"
+
+
+def flowformer_config_from_yaml(cfg: ConfigNode, *, compute_dtype: str = "float32",
+                                corr_impl: str = "auto"):
+    from .models.ff_flowformer import FlowFormerConfig
+
+    m = cfg.MODEL
+    t = cfg.TRAIN
+    return FlowFormerConfig(
+        fusion=m.get("FUSION"),
+        mask_modal=m.get("MASK_MODAL", t.get("MASK_MODAL", "point")),
+        mask_channel=int(m.get("MASK_CHANNEL", t.get("MASK_CHANNEL", 3))),
+        mask_dilate=int(m.get("MASK_DILATE", t.get("MASK_DILATE", 31))),
+        kernel_size=int(t.get("KERNEL_SIZE", 31)),
+        kernel_sigma=float(t.get("KERNEL_SIGMA", 5)),
+        pe=m.get("pe", "linear"),
+        encoder_latent_dim=int(m.get("encoder_latent_dim", 256)),
+        query_latent_dim=int(m.get("query_latent_dim", 64)),
+        cost_latent_input_dim=int(m.get("cost_latent_input_dim", 64)),
+        cost_latent_token_num=int(m.get("cost_latent_token_num", 8)),
+        cost_latent_dim=int(m.get("cost_latent_dim", 128)),
+        cost_heads_num=int(m.get("cost_heads_num", 1)),
+        encoder_depth=int(m.get("encoder_depth", 3)),
+        decoder_depth=int(m.get("decoder_depth", 12)),
+        patch_size=int(m.get("patch_size", 8)),
+        gma=bool(m.get("gma", True)),
+        vert_c_dim=int(m.get("vert_c_dim", 64)),
+        cost_encoder_res=bool(m.get("cost_encoder_res", True)),
+        use_mlp=bool(m.get("use_mlp", False)),
+        vertical_conv=bool(m.get("vertical_conv", False)),
+        only_global=bool(m.get("only_global", False)),
+        add_flow_token=bool(m.get("add_flow_token", True)),
+        context_concat=bool(m.get("context_concat", False)),
+        dropout=float(m.get("dropout", 0.0)),
+        compute_dtype=compute_dtype,
+        corr_impl=corr_impl,
+    )
+
+
+def optimizer_kwargs_from_yaml(cfg: ConfigNode) -> Dict:
+    """lr/weight-decay/eps/clip from OPTIMIZER+SCHEDULER (RAFT/PWC) or the
+    FlowFormer TRAINER block (`ff-flowformer/config/ff_chairs.yaml:85-94`)."""
+    if cfg.get("TRAINER") is not None:
+        t = cfg.TRAINER
+        return dict(
+            lr=float(t.canonical_lr),
+            weight_decay=float(t.get("adamw_decay", t.get("adam_decay", 1e-4))),
+            epsilon=float(t.get("epsilon", 1e-8)),
+            clip=float(t.get("clip", 1.0)),
+        )
+    return dict(
+        lr=float(cfg.SCHEDULER.LR),
+        weight_decay=float(cfg.OPTIMIZER.WEIGHT_DECAY),
+        epsilon=float(cfg.OPTIMIZER.EPSILON),
+        clip=float(cfg.TRAIN.get("CLIP", 1.0)),
+    )
+
+
+def multiscale_loss_kwargs_from_yaml(cfg: ConfigNode, sparse: bool = False) -> Dict:
+    t = cfg.TRAIN
+    return dict(
+        loss_type=t.get("LOSS_TYPE", "EPELoss"),
+        weights=[float(x) for x in t.LOSS_WEIGHTS],
+        mode=t.get("LOSS_MODE", "pretrain"),
+        q=float(t.get("LOSS_Q") or 0.4),
+        eps=float(t.get("LOSS_EPSILON") or 0.01),
+        kernel_size=int(t.get("LOSS_KERNEL_SIZE", 5)),
+        sigma=float(t.get("LOSS_SIGMA", 1.7)),
+        lamda=float(t.get("LOSS_LAMDA", 0.8)),
+        sparse=sparse,
+    )

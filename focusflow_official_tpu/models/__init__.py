@@ -1,6 +1,7 @@
 from .config import FFRaftConfig
 from .ff_raft import RAFT, FFRaft
 from .ff_pwcnet import PWCNet, FFPWCNet
+from .ff_flowformer import FlowFormer, FFFlowFormer, FlowFormerConfig
 from .mask_modal import init_mask, gaussian_kernel, ellipse_kernel
 
 __all__ = [
@@ -9,6 +10,9 @@ __all__ = [
     "FFRaft",
     "PWCNet",
     "FFPWCNet",
+    "FlowFormer",
+    "FFFlowFormer",
+    "FlowFormerConfig",
     "init_mask",
     "gaussian_kernel",
     "ellipse_kernel",

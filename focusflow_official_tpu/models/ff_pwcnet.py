@@ -42,8 +42,8 @@ class PWCNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image1, image2, mask1=None, mask2=None, test_mode: bool = False,
-                 train: bool = False):
+    def __call__(self, image1, image2, mask1=None, mask2=None, iters=None,
+                 test_mode: bool = False, train: bool = False):
         d = self.dtype
         _, h, w, _ = image1.shape
         nh, nw = _padded_size(h, w)
@@ -62,8 +62,8 @@ class FFPWCNet(nn.Module):
     cfg: FFRaftConfig
 
     @nn.compact
-    def __call__(self, image1, image2, mask1=None, mask2=None, test_mode: bool = False,
-                 train: bool = False):
+    def __call__(self, image1, image2, mask1=None, mask2=None, iters=None,
+                 test_mode: bool = False, train: bool = False):
         cfg = self.cfg
         d = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         _, h, w, _ = image1.shape

@@ -235,7 +235,7 @@ class FFRaft(nn.Module):
         iters = cfg.iters if iters is None else iters
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-        if cfg.fusion == "parallel":
+        if cfg.fusion is not None:
             mask1, mask2 = init_mask(
                 image1, image2, mask1, mask2,
                 mask_modal=cfg.mask_modal, mask_channel=cfg.mask_channel,
@@ -247,8 +247,29 @@ class FFRaft(nn.Module):
         image1 = 2 * (image1 / 255.0) - 1.0
         image2 = 2 * (image2 / 255.0) - 1.0
 
+        # 'attention'/'conv' front-ends produce fused feature images and feed
+        # a vanilla RAFT with in_channels=FUSION_CHANNEL (`ff_raft.py:84-104,
+        # 147-158`)
+        if cfg.fusion == "attention":
+            from .frontends import FusionLayer
+
+            fusion_layer = FusionLayer(img_channel=3, mask_channel=3,
+                                       wf=cfg.fusion_channel,
+                                       name="fusion_layer", dtype=dtype)
+            f1 = fusion_layer(image1, mask1)
+            f2 = fusion_layer(image2, mask2)
+        elif cfg.fusion == "conv":
+            from .frontends import ConvFusionLayer
+
+            fusion_layer = ConvFusionLayer(cfg.fusion_channel,
+                                           name="fusion_layer", dtype=dtype)
+            f1 = fusion_layer(image1, mask1, train=train)
+            f2 = fusion_layer(image2, mask2, train=train)
+        else:
+            f1, f2 = image1, image2
+
         flow_net = RAFT(
-            in_channels=3,
+            in_channels=cfg.fusion_channel if cfg.fusion in ("attention", "conv") else 3,
             small=cfg.small,
             dropout=cfg.dropout,
             abandon_fnet=cfg.abandon_fnet,
@@ -264,5 +285,5 @@ class FFRaft(nn.Module):
         if cfg.fusion == "parallel":
             return flow_net(image1, image2, mask1, mask2, iters=iters,
                             flow_init=flow_init, test_mode=test_mode, train=train)
-        return flow_net(image1, image2, iters=iters, flow_init=flow_init,
+        return flow_net(f1, f2, iters=iters, flow_init=flow_init,
                         test_mode=test_mode, train=train)

@@ -1,0 +1,399 @@
+"""Latent cost-volume encoder pieces (FlowFormer's CostPerceiver, flax).
+
+Equivalents of `/root/reference/core/models/ff-flowformer/FF_FlowFormer_Core/
+FlowFormer/LatentCostFormer/{encoder.py,attention.py,twins.py,mlpmixer.py,
+convnext.py}` for the default config (cost_heads_num 1, pe 'linear',
+K=8 latent tokens, cost_latent_dim 128, encoder_depth 3, vert_c_dim 64):
+
+- per-query cost maps are patch-embedded (stride-8 conv stack + linear
+  sine position encoding) into tokens;
+- 8 learned latent tokens cross-attend to them (`input_layer`);
+- encoder_depth x (self-attention over the K tokens | MLPMixer) alternated
+  with (vertical local+global Twins RPE attention over the H1xW1 grid,
+  context-conditioned via a 256->vert_c_dim projection | ConvNext);
+- all attention runs in token layout; matmuls pinned to HIGHEST precision.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.coords import coords_grid
+from .twins import HIGH, _dense, _ln
+
+
+def linear_position_embedding_sine(x: jnp.ndarray, dim: int,
+                                   normalize_factor: float = 1.0 / 200) -> jnp.ndarray:
+    """LinearPositionEmbeddingSine (`attention.py:151-155`): x (..., 2) -> (..., dim)."""
+    freq = jnp.linspace(0, dim // 4 - 1, dim // 4, dtype=jnp.float32)
+    px = x[..., -2:-1].astype(jnp.float32) * freq * (3.14 * normalize_factor)
+    py = x[..., -1:].astype(jnp.float32) * freq * (3.14 * normalize_factor)
+    return jnp.concatenate([jnp.sin(px), jnp.cos(px), jnp.sin(py), jnp.cos(py)], axis=-1)
+
+
+def _mha(q, k, v, heads: int, scale: float):
+    """MultiHeadAttention (`attention.py:38-63`): q (B,N,C), k/v (B,M,C)."""
+    b, n, c = q.shape
+    hd = c // heads
+    qh = q.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, -1, heads, v.shape[-1] // heads).transpose(0, 2, 1, 3)
+    attn = jnp.einsum("bhid,bhjd->bhij", qh, kh, precision=HIGH) * scale
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, vh, precision=HIGH)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, -1)
+
+
+class CostPatchEmbed(nn.Module):
+    """Cost-map patch embed (`encoder.py:26-83`), patch_size 8, pe 'linear'.
+
+    Input (B*H1W1, H2, W2, heads) NHWC -> tokens (B*H1W1, H3*W3, 2*embed_dim).
+    """
+
+    patch_size: int = 8
+    in_chans: int = 1
+    embed_dim: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch_size
+        d = self.dtype
+        b, h, w, _ = x.shape
+        pad_r = (p - w % p) % p
+        pad_b = (p - h % p) % p
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+
+        def conv(c, name):
+            return nn.Conv(c, (6, 6), strides=(2, 2), padding=((2, 2), (2, 2)),
+                           dtype=d, param_dtype=jnp.float32, precision=HIGH, name=name)
+
+        if p == 8:
+            x = nn.relu(conv(self.embed_dim // 4, "proj_0")(x))
+            x = nn.relu(conv(self.embed_dim // 2, "proj_2")(x))
+            x = conv(self.embed_dim, "proj_4")(x)
+        elif p == 4:
+            x = nn.relu(conv(self.embed_dim // 4, "proj_0")(x))
+            x = conv(self.embed_dim, "proj_2")(x)
+        else:
+            raise ValueError(f"patch size {p} unacceptable")
+        out_size = x.shape[1:3]
+
+        # patch center coordinates in the ORIGINAL cost-map space
+        coord = coords_grid(b, *out_size) * p + p / 2  # (B, h3, w3, 2)
+        enc = linear_position_embedding_sine(coord, dim=self.embed_dim).astype(d)
+
+        xp = jnp.concatenate([x, enc], axis=-1)
+        c2 = self.embed_dim * 2
+        xp = nn.Conv(c2, (1, 1), dtype=d, param_dtype=jnp.float32, precision=HIGH,
+                     name="ffn_with_coord_0")(xp)
+        xp = nn.relu(xp)
+        xp = nn.Conv(c2, (1, 1), dtype=d, param_dtype=jnp.float32, precision=HIGH,
+                     name="ffn_with_coord_2")(xp)
+        xp = xp.reshape(b, -1, c2)
+        return _ln("norm", d, eps=1e-5)(xp), out_size
+
+
+class BroadCrossAttentionLayer(nn.Module):
+    """Encoder input layer (`encoder.py:200-247`): shared latent-token queries
+    cross-attend to per-cost-map tokens (BroadMultiHeadAttention)."""
+
+    qk_dim: int
+    v_dim: int
+    query_token_dim: int
+    tgt_token_dim: int
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, tgt):  # query (1, K, Cq), tgt (B, M, Ct)
+        d = self.dtype
+        scale = (self.qk_dim / self.num_heads) ** -0.5
+        short_cut = query
+        qn = _ln("norm1", d, eps=1e-5)(query)
+        q = _dense(self.qk_dim, "q", d)(qn)  # (1, K, qk)
+        k = _dense(self.qk_dim, "k", d)(tgt)
+        v = _dense(self.v_dim, "v", d)(tgt)
+
+        b = tgt.shape[0]
+        q = jnp.broadcast_to(q, (b, *q.shape[1:]))
+        x = _mha(q, k, v, self.num_heads, scale)
+        x = _dense(self.query_token_dim, "proj", d)(x)
+        x = short_cut + x  # broadcasts (1,K,C) + (B,K,C)
+
+        xn = _ln("norm2", d, eps=1e-5)(x)
+        ff = _dense(self.query_token_dim, "ffn_0", d)(xn)
+        ff = nn.gelu(ff, approximate=False)
+        ff = _dense(self.query_token_dim, "ffn_3", d)(ff)
+        return x + ff
+
+
+class SelfAttentionLayer(nn.Module):
+    """Self-attention over the K latent tokens (`encoder.py:147-190`)."""
+
+    dim: int
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, K, C)
+        d = self.dtype
+        scale = (self.dim // self.num_heads) ** -0.5
+        short_cut = x
+        xn = _ln("norm1", d, eps=1e-5)(x)
+        q = _dense(self.dim, "q", d)(xn)
+        k = _dense(self.dim, "k", d)(xn)
+        v = _dense(self.dim, "v", d)(xn)
+        # NOTE reference MultiHeadAttention scale is (dim/heads)^-0.5
+        y = _mha(q, k, v, self.num_heads, (self.dim / self.num_heads) ** -0.5)
+        y = _dense(self.dim, "proj", d)(y)
+        x = short_cut + y
+        xn = _ln("norm2", d, eps=1e-5)(x)
+        ff = _dense(self.dim, "ffn_0", d)(xn)
+        ff = nn.gelu(ff, approximate=False)
+        ff = _dense(self.dim, "ffn_3", d)(ff)
+        return x + ff
+
+
+class MLPMixerLayer(nn.Module):
+    """`mlpmixer.py:24-50`: token-mixing (over K) + channel-mixing MLPs."""
+
+    dim: int
+    token_num: int
+    expansion_factor: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, K, D)
+        d = self.dtype
+        k, ef = self.token_num, self.expansion_factor
+        # token mixing: Conv1d(kernel 1) over the K axis == dense on axis 1
+        xn = _ln("mlpmixer_0_norm", d, eps=1e-5)(x)
+        y = xn.transpose(0, 2, 1)  # (B, D, K)
+        y = _dense(k * ef, "mlpmixer_0_fn_0", d)(y)
+        y = nn.gelu(y, approximate=False)
+        y = _dense(k, "mlpmixer_0_fn_3", d)(y)
+        x = x + y.transpose(0, 2, 1)
+
+        xn = _ln("mlpmixer_1_norm", d, eps=1e-5)(x)
+        y = _dense(self.dim * ef, "mlpmixer_1_fn_0", d)(xn)
+        y = nn.gelu(y, approximate=False)
+        y = _dense(self.dim, "mlpmixer_1_fn_3", d)(y)
+        return x + y
+
+
+class ConvNextBlock(nn.Module):
+    """`convnext.py:23-60`: dw7x7 -> LN -> 4x MLP -> layer scale, NHWC."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        d = self.dtype
+        inp = x
+        x = nn.Conv(self.dim, (7, 7), padding=((3, 3), (3, 3)),
+                    feature_group_count=self.dim, dtype=d, param_dtype=jnp.float32,
+                    precision=HIGH, name="dwconv")(x)
+        x = _ln("norm", d, eps=1e-6)(x)
+        x = _dense(4 * self.dim, "pwconv1", d)(x)
+        x = nn.gelu(x, approximate=False)
+        x = _dense(self.dim, "pwconv2", d)(x)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6), (self.dim,), jnp.float32)
+        return inp + gamma * x
+
+
+class ConvNextLayer(nn.Module):
+    dim: int
+    depth: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for j in range(self.depth):
+            x = ConvNextBlock(self.dim, name=f"net_{j}", dtype=self.dtype)(x)
+        return x
+
+
+class _ContextProj(nn.Module):
+    vert_c_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, context, b, h, w):
+        """context (B0, H, W, 256) tiled to batch b, projected to vert_c_dim."""
+        reps = b // context.shape[0]
+        ctx = jnp.tile(context, (reps, 1, 1, 1))
+        return _dense(self.vert_c_dim, "context_proj", self.dtype)(ctx)  # (b,H,W,vc)
+
+
+class LocallyGroupedAttnRPEContext(nn.Module):
+    """LSA with per-window sine RPE and context-augmented q/k
+    (`twins.py:229-304`)."""
+
+    dim: int
+    num_heads: int
+    ws: int = 7
+    vert_c_dim: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, size, context=None):
+        d = self.dtype
+        b, n, c = x.shape
+        h, w = size
+        nh, hd = self.num_heads, c // self.num_heads
+        scale = hd**-0.5
+        ws = self.ws
+        c_qk = c + self.vert_c_dim
+
+        xg = x.reshape(b, h, w, c)
+        if self.vert_c_dim > 0:
+            ctx = _ContextProj(self.vert_c_dim, name="ctx", dtype=d)(context, b, h, w)
+            x_qk = jnp.concatenate([xg, ctx], axis=-1)
+        else:
+            x_qk = xg
+
+        pad_b = (ws - h % ws) % ws
+        pad_r = (ws - w % ws) % ws
+        xg = jnp.pad(xg, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        x_qk = jnp.pad(x_qk, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+        nh_, nw_ = hp // ws, wp // ws
+
+        def windows(t, ch):
+            t = t.reshape(b, nh_, ws, nw_, ws, ch).transpose(0, 1, 3, 2, 4, 5)
+            return t.reshape(b, nh_ * nw_, ws * ws, ch)
+
+        v = _dense(c, "v", d)(windows(xg, c))
+
+        # per-window coords (0..ws-1), sine-encoded at C_qk dims
+        coord = coords_grid(1, ws, ws).reshape(1, ws * ws, 2)
+        enc = linear_position_embedding_sine(coord, dim=c_qk).astype(d)  # (1, ws*ws, c_qk)
+        xw_qk = windows(x_qk, c_qk) + enc[:, None]
+
+        q = _dense(c, "q", d)(xw_qk)
+        k = _dense(c, "k", d)(xw_qk)
+
+        def heads(t):
+            return t.reshape(b, nh_ * nw_, ws * ws, nh, hd).transpose(0, 1, 3, 2, 4)
+
+        attn = jnp.einsum("bwhid,bwhjd->bwhij", heads(q), heads(k), precision=HIGH) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bwhij,bwhjd->bwhid", attn, heads(v), precision=HIGH)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, nh_, nw_, ws, ws, c)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)[:, :h, :w]
+        out = out.reshape(b, n, c)
+        return _dense(c, "proj", d)(out)
+
+
+class GlobalSubSampleAttnRPEContext(nn.Module):
+    """GSA with absolute sine RPE and context-augmented q/k
+    (`twins.py:306-392`)."""
+
+    dim: int
+    num_heads: int
+    sr_ratio: int = 4
+    vert_c_dim: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, size, context=None):
+        d = self.dtype
+        b, n, c = x.shape
+        h, w = size
+        nh, hd = self.num_heads, c // self.num_heads
+        scale = hd**-0.5
+        sr = self.sr_ratio
+        c_qk = c + self.vert_c_dim
+
+        xg = x.reshape(b, h, w, c)
+        if self.vert_c_dim > 0:
+            ctx = _ContextProj(self.vert_c_dim, name="ctx", dtype=d)(context, b, h, w)
+            x_qk = jnp.concatenate([xg, ctx], axis=-1)
+        else:
+            x_qk = xg
+
+        pad_b = (sr - h % sr) % sr
+        pad_r = (sr - w % sr) % sr
+        xg = jnp.pad(xg, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        x_qk = jnp.pad(x_qk, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+
+        coord = coords_grid(1, hp, wp).reshape(1, hp * wp, 2)
+        enc = linear_position_embedding_sine(coord, dim=c_qk).astype(d)
+        q_in = x_qk.reshape(b, hp * wp, c_qk) + enc
+        q = _dense(c, "q", d)(q_in).reshape(b, hp * wp, nh, hd).transpose(0, 2, 1, 3)
+
+        if sr > 1:
+            xk = nn.Conv(c, (sr, sr), strides=(sr, sr), dtype=d, param_dtype=jnp.float32,
+                         precision=HIGH, name="sr_key")(x_qk)
+            xv = nn.Conv(c, (sr, sr), strides=(sr, sr), dtype=d, param_dtype=jnp.float32,
+                         precision=HIGH, name="sr_value")(xg)
+            norm = _ln("norm", d, eps=1e-5)
+            xk = norm(xk.reshape(b, -1, c))
+            xv = norm(xv.reshape(b, -1, c))
+        else:
+            xk = xv = x_qk.reshape(b, -1, c)
+
+        coord2 = coords_grid(1, hp // sr, wp // sr).reshape(1, -1, 2) * sr
+        enc2 = linear_position_embedding_sine(coord2, dim=c).astype(d)
+        k = _dense(c, "k", d)(xk + enc2).reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+        v = _dense(c, "v", d)(xv).reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhid,bhjd->bhij", q, k, precision=HIGH) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v, precision=HIGH)
+        out = out.transpose(0, 2, 1, 3).reshape(b, hp, wp, c)[:, :h, :w]
+        out = out.reshape(b, n, c)
+        return _dense(c, "proj", d)(out)
+
+
+class RPEBlock(nn.Module):
+    """Transformer block around an RPE(-context) attention (`twins.py:750-788`)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    sr_ratio: int = 4
+    ws: int = 7  # >1 -> local, 1 -> global-subsample
+    vert_c_dim: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, size, context=None):
+        d = self.dtype
+        if self.ws > 1:
+            attn = LocallyGroupedAttnRPEContext(self.dim, self.num_heads, self.ws,
+                                                self.vert_c_dim, name="attn", dtype=d)
+        else:
+            attn = GlobalSubSampleAttnRPEContext(self.dim, self.num_heads, self.sr_ratio,
+                                                 self.vert_c_dim, name="attn", dtype=d)
+        x = x + attn(_ln("norm1", d, eps=1e-6)(x), size, context)
+        from .twins import TwinsMlp
+
+        x = x + TwinsMlp(self.dim, int(self.dim * self.mlp_ratio), name="mlp",
+                         dtype=d)(_ln("norm2", d, eps=1e-6)(x))
+        return x
+
+
+class VerticalSelfAttentionLayer(nn.Module):
+    """Local + global RPE-context blocks over the H1xW1 grid
+    (`encoder.py:112-138`)."""
+
+    dim: int
+    vert_c_dim: int
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, size, context=None):
+        x = RPEBlock(self.dim, self.num_heads, 4.0, 4, 7, self.vert_c_dim,
+                     name="local_block", dtype=self.dtype)(x, size, context)
+        x = RPEBlock(self.dim, self.num_heads, 4.0, 4, 1, self.vert_c_dim,
+                     name="global_block", dtype=self.dtype)(x, size, context)
+        return x

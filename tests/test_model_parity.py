@@ -135,3 +135,39 @@ def test_ff_raft_parallel_parity(ref_ffraft_modules, fusion_type):
     np.testing.assert_allclose(
         to_nchw(np.asarray(ours_up)), ref_up.numpy(), atol=1e-2, rtol=1e-4
     )
+
+
+@requires_reference
+@pytest.mark.parametrize("mode", ["conv", "attention"])
+def test_ff_raft_frontend_parity(ref_ffraft_modules, mode):
+    """'attention'/'conv' fusion front-ends (`ff_raft.py:84-104`) parity."""
+    _, ref_ff_raft, _ = ref_ffraft_modules
+    cfg = make_ref_cfg()
+    torch.manual_seed(5)
+    ref = ref_ff_raft.FF_RAFT_FUSION(
+        use_fusion=mode, fusion_channels=32, raft_small=False, cfg=cfg,
+    )
+    ref.eval()
+
+    img1 = (RNG.rand(1, 3, 128, 160) * 255).astype(np.float32)
+    img2 = (RNG.rand(1, 3, 128, 160) * 255).astype(np.float32)
+    mask1 = (RNG.rand(1, 1, 128, 160) > 0.95).astype(np.float32) * 255
+    mask2 = (RNG.rand(1, 1, 128, 160) > 0.95).astype(np.float32) * 255
+
+    with torch.no_grad():
+        _, ref_up = ref(
+            torch.from_numpy(img1), torch.from_numpy(img2),
+            torch.from_numpy(mask1), torch.from_numpy(mask2),
+            raft_iters=2, test_mode=True,
+        )
+
+    ours = FFRaft(FFRaftConfig(fusion=mode, fusion_channel=32))
+    args = [jnp.asarray(to_nhwc(x)) for x in (img1, img2, mask1, mask2)]
+    template = ours.init(jax.random.PRNGKey(0), *args, iters=1)
+    variables = torch_state_dict_to_variables(ref.state_dict(), template)
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    _, ours_up = ours.apply(variables, *args, iters=2, test_mode=True)
+    np.testing.assert_allclose(
+        to_nchw(np.asarray(ours_up)), ref_up.numpy(), atol=1e-2, rtol=1e-4
+    )

@@ -72,8 +72,9 @@ def _cpu_backwarp(tenInput=None, tenFlow=None):
 @pytest.fixture(scope="session")
 def ref_pwc_modules():
     """Import the reference FF-PWC core with CPU stand-ins injected."""
-    if REFERENCE_ROOT not in sys.path[0]:
-        sys.path.insert(0, f"{REFERENCE_ROOT}/core/models/ff-pwcnet")
+    pwc_path = f"{REFERENCE_ROOT}/core/models/ff-pwcnet"
+    if pwc_path not in sys.path:
+        sys.path.insert(0, pwc_path)
 
     fake_fn = types.SimpleNamespace(
         FunctionCorrelation=lambda tenOne, tenTwo: _torch_local_corr(tenOne, tenTwo),
