@@ -13,11 +13,10 @@ import os
 
 import jax
 
-from ..config import load_yaml_config, model_config_from_yaml
+from ..config import load_yaml_config
 from ..data.datasets import KITTI, FlyingChairs, MpiSintel
-from ..models import FFRaft
 from ..train import evaluate as eval_mod
-from .train import DEFAULT_DATA_ROOT, load_torch_pretrained, mask_roots
+from .train import DEFAULT_DATA_ROOT, build_model_and_loss, load_torch_pretrained, mask_roots
 
 
 def main():
@@ -34,10 +33,7 @@ def main():
     args = parser.parse_args()
 
     cfg = load_yaml_config(args.yaml)
-    model_cfg = model_config_from_yaml(
-        cfg, compute_dtype=args.compute_dtype, corr_impl=args.corr_impl
-    )
-    model = FFRaft(model_cfg)
+    _family, _model_cfg, model, _loss, _iters = build_model_and_loss(cfg, args)
 
     data_root = dict(DEFAULT_DATA_ROOT)
     if args.data_root:

@@ -16,6 +16,7 @@ so torch checkpoint paths map 1:1 (e.g. `norm1.weight` -> `norm1/scale`).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -33,24 +34,29 @@ class Norm(nn.Module):
         if kind == "none":
             return x
         c = self.features
+        d = self.dtype
+        # stats in f32 (XLA fuses the cast into the reductions); the
+        # normalization itself runs in the compute dtype so bf16 tensors never
+        # materialize in f32
         xf = x.astype(jnp.float32)
 
         if kind == "group":
-            b, h, w, _ = xf.shape
+            b, h, w, _ = x.shape
             g = self.num_groups
             xg = xf.reshape(b, h, w, g, c // g)
             mean = xg.mean(axis=(1, 2, 4), keepdims=True)
-            var = xg.var(axis=(1, 2, 4), keepdims=True)
-            xg = (xg - mean) / jnp.sqrt(var + self.epsilon)
-            out = xg.reshape(b, h, w, c)
+            var = (xg * xg).mean(axis=(1, 2, 4), keepdims=True) - mean * mean
+            inv = jax.lax.rsqrt(var + self.epsilon)
             scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-            out = out * scale + bias
+            xn = (x.reshape(b, h, w, g, c // g) - mean.astype(d)) * inv.astype(d)
+            out = xn.reshape(b, h, w, c) * scale.astype(d) + bias.astype(d)
 
         elif kind == "instance":
             mean = xf.mean(axis=(1, 2), keepdims=True)
-            var = xf.var(axis=(1, 2), keepdims=True)
-            out = (xf - mean) / jnp.sqrt(var + self.epsilon)
+            var = (xf * xf).mean(axis=(1, 2), keepdims=True) - mean * mean
+            inv = jax.lax.rsqrt(var + self.epsilon)
+            out = (x - mean.astype(d)) * inv.astype(d)
 
         elif kind == "batch":
             scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
@@ -69,8 +75,8 @@ class Norm(nn.Module):
                     m = self.momentum
                     ra_mean.value = (1 - m) * ra_mean.value + m * mean
                     ra_var.value = (1 - m) * ra_var.value + m * unbiased
-            out = (xf - mean) / jnp.sqrt(var + self.epsilon)
-            out = out * scale + bias
+            inv = jax.lax.rsqrt(var + self.epsilon)
+            out = (x - mean.astype(d)) * inv.astype(d) * scale.astype(d) + bias.astype(d)
 
         else:
             raise ValueError(f"Unknown norm kind: {kind}")
