@@ -154,8 +154,20 @@ def train(args) -> int:
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
 
+    twins_factor = None
+    if cfg.get("TRAINER") is not None and cfg.TRAINER.get("twins_lr_factor"):
+        twins_factor = float(cfg.TRAINER.twins_lr_factor)
     tx = build_optimizer(schedule, clip=clip, freeze_labels=freeze_labels, **opt_kwargs)
     state = create_train_state(model, init_rng, example, tx)
+    if twins_factor is not None:
+        from ..train.surgery import encoder_lr_labels
+
+        tx = build_optimizer(
+            schedule, clip=clip, freeze_labels=freeze_labels,
+            encoder_labels=encoder_lr_labels(state.params),
+            encoder_lr_factor=twins_factor, **opt_kwargs,
+        )
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
 
     # pretrained / transfer loads (reference `ff_raft.py:112-118`, `raft.py:115-148`)
     template = {"params": state.params, "batch_stats": state.batch_stats}

@@ -15,6 +15,7 @@ from .datasets import (
     FlyingThings3D,
     KITTI,
     HD1K,
+    OminiFlow,
     fetch_dataset,
     WeightedConcat,
 )
@@ -25,7 +26,7 @@ __all__ = [
     "read_flo", "write_flo", "read_pfm", "read_flow_kitti", "write_flow_kitti",
     "read_gen", "read_image",
     "FlowAugmentor", "SparseFlowAugmentor",
-    "FlowDataset", "MpiSintel", "FlyingChairs", "FlyingThings3D", "KITTI", "HD1K",
+    "FlowDataset", "MpiSintel", "FlyingChairs", "FlyingThings3D", "KITTI", "HD1K", "OminiFlow",
     "fetch_dataset", "WeightedConcat", "Loader",
     "flow_to_image", "make_colorwheel",
 ]

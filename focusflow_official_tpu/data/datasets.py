@@ -209,6 +209,26 @@ class HD1K(FlowDataset):
             seq_ix += 1
 
 
+class OminiFlow(FlowDataset):
+    """`core/datasets.py:238-254`: panoramic scenes; the reference reuses the
+    images as stand-in masks."""
+
+    def __init__(self, root, aug_params=None, seed=None):
+        super().__init__(aug_params, seed=seed)
+        for scene in ("CartoonTree", "Forest", "lowPolyModels"):
+            for split in ("0", "1"):
+                image_root = osp.join(root, scene)
+                image_root = osp.join(
+                    image_root, scene if split == "0" else f"{scene}_{split}"
+                )
+                images = sorted(glob(osp.join(image_root, "images/*.png")))
+                flows = sorted(glob(osp.join(image_root, "ground_truth/*.flo")))
+                for i in range(len(images) - 1):
+                    self.image_list.append([images[i], images[i + 1]])
+                    self.flow_list.append(flows[i])
+                    self.mask_list.append([images[i], images[i + 1]])
+
+
 class WeightedConcat:
     """Oversampled dataset union via index arithmetic.
 

@@ -27,14 +27,21 @@ def _epe_map(flow, flow_gt):
 
 
 def make_eval_forward(model, variables, iters: int):
-    """jit'd (image1, image2, mask1, mask2) -> upsampled flow (NHWC)."""
+    """jit'd (image1, image2, mask1, mask2) -> upsampled flow (NHWC).
+
+    Normalizes the families' test-mode returns: RAFT -> (lowres, up),
+    FlowFormer -> (up, lowres), PWC -> up.
+    """
 
     @functools.partial(jax.jit, static_argnames=())
     def forward(image1, image2, mask1, mask2):
-        _, flow_up = model.apply(
+        out = model.apply(
             variables, image1, image2, mask1, mask2, iters=iters, test_mode=True
         )
-        return flow_up
+        if isinstance(out, (tuple, list)):
+            full = [o for o in out if o.shape[1:3] == image1.shape[1:3]]
+            return full[0]
+        return out
 
     return forward
 

@@ -53,22 +53,50 @@ def build_optimizer(
     epsilon: float = 1e-8,
     clip: float = 1.0,
     freeze_labels: Optional[Any] = None,
+    encoder_labels: Optional[Any] = None,
+    encoder_lr_factor: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """AdamW + global-norm clip, matching `train.py:211-214, 318`.
 
-    `freeze_labels`: optional 'frozen'/'trainable' label pytree (see
-    `surgery.freeze_mask_for_parallel`) — frozen leaves get zero updates,
-    the functional counterpart of `requires_grad = False`.
+    - `freeze_labels`: 'frozen'/'trainable' label pytree (see
+      `surgery.freeze_mask_for_parallel`) — frozen leaves get zero updates,
+      the functional counterpart of `requires_grad = False`.
+    - `encoder_labels` + `encoder_lr_factor`: FlowFormer's `twins_lr_factor`
+      param groups (`ff-flowformer/FF_FlowFormer_Core/optimizer/__init__.py:
+      22-32`): pretrained encoder params train at lr * factor.
+    The global-norm clip is applied before partitioning so it stays global,
+    like torch's `clip_grad_norm_(model.parameters())`.
     """
-    inner = optax.chain(
+
+    def adamw(lr_):
+        return optax.adamw(lr_, b1=0.9, b2=0.999, eps=epsilon,
+                           weight_decay=weight_decay)
+
+    if freeze_labels is None and encoder_lr_factor is None:
+        return optax.chain(optax.clip_by_global_norm(clip), adamw(lr))
+
+    # merge label trees: frozen > encoder > trainable
+    import jax as _jax
+
+    def merge(frozen_lbl, enc_lbl):
+        if frozen_lbl == "frozen":
+            return "frozen"
+        return enc_lbl
+
+    if freeze_labels is not None and encoder_labels is not None:
+        labels = _jax.tree.map(merge, freeze_labels, encoder_labels)
+    elif freeze_labels is not None:
+        labels = freeze_labels
+    else:
+        labels = encoder_labels
+
+    transforms = {"trainable": adamw(lr), "frozen": optax.set_to_zero()}
+    if encoder_lr_factor is not None:
+        scaled = (lambda c: lr(c) * encoder_lr_factor) if callable(lr) else lr * encoder_lr_factor
+        transforms["encoder"] = adamw(scaled)
+    return optax.chain(
         optax.clip_by_global_norm(clip),
-        optax.adamw(lr, b1=0.9, b2=0.999, eps=epsilon, weight_decay=weight_decay),
-    )
-    if freeze_labels is None:
-        return inner
-    return optax.multi_transform(
-        {"trainable": inner, "frozen": optax.set_to_zero()},
-        freeze_labels,
+        optax.multi_transform(transforms, labels),
     )
 
 

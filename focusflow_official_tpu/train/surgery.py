@@ -83,3 +83,16 @@ def freeze_mask_for_parallel(params: Dict) -> Dict:
             frozen = path[i + 1] in ("encoder", "gru")
         labels[path] = "frozen" if frozen else "trainable"
     return traverse_util.unflatten_dict(labels)
+
+
+def encoder_lr_labels(params: Dict) -> Dict:
+    """'encoder'/'trainable' labels for FlowFormer's twins_lr_factor param
+    groups: pretrained feat/context encoders get the scaled LR
+    (`ff-flowformer/FF_FlowFormer_Core/optimizer/__init__.py:22-32`)."""
+    flat = traverse_util.flatten_dict(params)
+    labels = {}
+    for path in flat:
+        enc = any(("feat_encoder" in comp or "context_encoder" in comp)
+                  for comp in path)
+        labels[path] = "encoder" if enc else "trainable"
+    return traverse_util.unflatten_dict(labels)
