@@ -207,14 +207,24 @@ def train(args) -> int:
 
     val_freq = args.val_freq
     total = start_step
+    profiling = False
     for batch in loader.batches(start_step=total):
         if total >= num_steps:
             break
+        # jax.profiler trace of steps [profile_start, profile_start+profile_steps)
+        if args.profile_dir and total == args.profile_start and not profiling:
+            jax.profiler.start_trace(args.profile_dir)
+            profiling = True
         rng, step_rng = jax.random.split(rng)
         batch = put_batch(batch, mesh)
         state, metrics = step_fn(state, batch, step_rng)
         if jax.process_index() == 0:
             logger.push({k: float(v) for k, v in metrics.items()})
+        if profiling and total >= args.profile_start + args.profile_steps - 1:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info(f"profiler trace written to {args.profile_dir}")
 
         total += 1
         if total % val_freq == 0 and jax.process_index() == 0:
@@ -272,6 +282,10 @@ def main():
                         choices=["float32", "bfloat16"])
     parser.add_argument("--corr-impl", default="auto", choices=["auto", "xla", "pallas"])
     parser.add_argument("--val-freq", type=int, default=5000)
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace into this dir")
+    parser.add_argument("--profile-start", type=int, default=10)
+    parser.add_argument("--profile-steps", type=int, default=5)
     args = parser.parse_args()
     raise SystemExit(train(args))
 

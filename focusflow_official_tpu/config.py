@@ -130,6 +130,7 @@ def flowformer_config_from_yaml(cfg: ConfigNode, *, compute_dtype: str = "float3
         only_global=bool(m.get("only_global", False)),
         add_flow_token=bool(m.get("add_flow_token", True)),
         context_concat=bool(m.get("context_concat", False)),
+        feat_cross_attn=bool(m.get("feat_cross_attn", False)),
         dropout=float(m.get("dropout", 0.0)),
         compute_dtype=compute_dtype,
         corr_impl=corr_impl,

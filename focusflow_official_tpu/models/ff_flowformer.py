@@ -81,6 +81,9 @@ class FlowFormerConfig:
     only_global: bool = False
     add_flow_token: bool = True
     context_concat: bool = False
+    feat_cross_attn: bool = False  # NOTE: broken in the reference too — its
+    # MemoryEncoder references self.layers that is never constructed
+    # (`encoder.py:372-380`); we raise a clear error instead
     dropout: float = 0.0
 
     compute_dtype: str = "float32"
@@ -183,6 +186,10 @@ class MemoryEncoder(nn.Module):
         feats = conv2d(self.cfg.encoder_latent_dim, 1, 1, 0, use_bias=False,
                        name="channel_convertor", dtype=d)(feats)
         f1, f2 = jnp.split(feats, 2, axis=0)
+        if self.cfg.feat_cross_attn:
+            raise NotImplementedError(
+                "feat_cross_attn is unimplementable: the reference's layer "
+                "stack is never constructed (encoder.py:372-380)")
         cost_volume = _multi_head_cost_volume(f1, f2, self.cfg.cost_heads_num)
         return CostPerceiverEncoder(self.cfg, name="cost_perceiver_encoder",
                                     dtype=d)(cost_volume, context)

@@ -15,9 +15,21 @@ so torch checkpoint paths map 1:1 (e.g. `norm1.weight` -> `norm1/scale`).
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+# opt-in: route instance norms through the Pallas fused kernel
+_USE_PALLAS_INSTANCE_NORM = os.environ.get("FF_PALLAS_INSTANCE_NORM", "0") == "1"
+
+
+def _pallas_in_ok() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 class Norm(nn.Module):
@@ -53,10 +65,15 @@ class Norm(nn.Module):
             out = xn.reshape(b, h, w, c) * scale.astype(d) + bias.astype(d)
 
         elif kind == "instance":
-            mean = xf.mean(axis=(1, 2), keepdims=True)
-            var = (xf * xf).mean(axis=(1, 2), keepdims=True) - mean * mean
-            inv = jax.lax.rsqrt(var + self.epsilon)
-            out = (x - mean.astype(d)) * inv.astype(d)
+            if _USE_PALLAS_INSTANCE_NORM and _pallas_in_ok():
+                from ..kernels.instance_norm import instance_norm_pallas
+
+                out = instance_norm_pallas(x, self.epsilon)
+            else:
+                mean = xf.mean(axis=(1, 2), keepdims=True)
+                var = (xf * xf).mean(axis=(1, 2), keepdims=True) - mean * mean
+                inv = jax.lax.rsqrt(var + self.epsilon)
+                out = (x - mean.astype(d)) * inv.astype(d)
 
         elif kind == "batch":
             scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
