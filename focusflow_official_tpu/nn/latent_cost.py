@@ -397,3 +397,99 @@ class VerticalSelfAttentionLayer(nn.Module):
         x = RPEBlock(self.dim, self.num_heads, 4.0, 4, 1, self.vert_c_dim,
                      name="global_block", dtype=self.dtype)(x, size, context)
         return x
+
+
+class GroupAttnRPEContext(nn.Module):
+    """5-way shifted group attention (`twins.py:64-151` / `:153-227`).
+
+    The batch is split into 5 groups whose k/v are shifted by one window
+    up / down / left / right / none, so different latent-token groups attend
+    to displaced neighborhoods. Requires batch % 5 == 0 (the reference
+    asserts cost_latent_token_num % 5 == 0). `vert_c_dim=0` gives the
+    context-free GroupAttnRPE.
+    """
+
+    dim: int
+    num_heads: int
+    ws: int = 7
+    vert_c_dim: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, size, context=None):
+        d = self.dtype
+        b, n, c = x.shape
+        h, w = size
+        nh, hd = self.num_heads, c // self.num_heads
+        scale = hd**-0.5
+        ws = self.ws
+        c_qk = c + self.vert_c_dim
+        bn = b // 5
+
+        xg = x.reshape(b, h, w, c)
+        if self.vert_c_dim > 0:
+            ctx = _ContextProj(self.vert_c_dim, name="ctx", dtype=d)(context, b, h, w)
+            x_qk = jnp.concatenate([xg, ctx], axis=-1)
+        else:
+            x_qk = xg
+
+        pad_b = (ws - h % ws) % ws
+        pad_r = (ws - w % ws) % ws
+        xg = jnp.pad(xg, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        x_qk = jnp.pad(x_qk, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+        nh_, nw_ = hp // ws, wp // ws
+
+        coord = coords_grid(1, hp, wp).reshape(1, hp * wp, 2)
+        enc = linear_position_embedding_sine(coord, dim=c_qk).astype(d)
+        enc = enc.reshape(1, hp, wp, c_qk)
+
+        q = _dense(c, "q", d)(x_qk + enc)
+        k = _dense(c, "k", d)(x_qk + enc)
+        v = _dense(c, "v", d)(xg)
+
+        # shift k/v per batch group (`twins.py:126-132`): each group's k/v rows
+        # come from a ws-displaced copy with edge rows repeated
+        kv = jnp.concatenate([k, v], axis=-1)
+        g = [kv[i * bn : (i + 1) * bn] for i in range(5)]
+        kv_up = jnp.concatenate([g[0][:, ws:hp], g[0][:, hp - ws : hp]], axis=1)
+        kv_down = jnp.concatenate([g[1][:, :ws], g[1][:, : hp - ws]], axis=1)
+        kv_left = jnp.concatenate([g[2][:, :, ws:wp], g[2][:, :, wp - ws : wp]], axis=2)
+        kv_right = jnp.concatenate([g[3][:, :, :ws], g[3][:, :, : wp - ws]], axis=2)
+        kv = jnp.concatenate([kv_up, kv_down, kv_left, kv_right, g[4]], axis=0)
+        k, v = kv[..., :c], kv[..., c:]
+
+        def windows(t):
+            t = t.reshape(b, nh_, ws, nw_, ws, c).transpose(0, 1, 3, 2, 4, 5)
+            t = t.reshape(b, nh_ * nw_, ws * ws, nh, hd)
+            return t.transpose(0, 1, 3, 2, 4)
+
+        attn = jnp.einsum("bwhid,bwhjd->bwhij", windows(q), windows(k),
+                          precision=HIGH) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bwhij,bwhjd->bwhid", attn, windows(v), precision=HIGH)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, nh_, nw_, ws, ws, c)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)[:, :h, :w]
+        return _dense(c, "proj", d)(out.reshape(b, n, c))
+
+
+class GroupVerticalSelfAttentionLayer(nn.Module):
+    """`encoder.py:87-110`: single group-attention block over the H1xW1 grid."""
+
+    dim: int
+    vert_c_dim: int
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, size, context=None):
+        d = self.dtype
+        attn = GroupAttnRPEContext(self.dim, self.num_heads, 7, self.vert_c_dim,
+                                   name="block_attn", dtype=d)
+        y = attn(_ln("block_norm1", d, eps=1e-6)(x), size, context)
+        x = x + y
+        from .twins import TwinsMlp
+
+        x = x + TwinsMlp(self.dim, self.dim * 4, name="block_mlp",
+                         dtype=d)(_ln("block_norm2", d, eps=1e-6)(x))
+        return x

@@ -1,4 +1,4 @@
-from .coords import coords_grid, resize_bilinear_align_corners, resize_bilinear, upflow8
+from .coords import coords_grid, resize_bilinear_align_corners, resize_bilinear, upflow8, forward_interpolate
 from .sampler import bilinear_sample
 from .pool import avg_pool2x2
 from .corr import all_pairs_corr, corr_pyramid, lookup_corr_pyramid, CorrPyramid
@@ -8,6 +8,7 @@ from .local_corr import local_corr
 
 __all__ = [
     "coords_grid",
+    "forward_interpolate",
     "resize_bilinear_align_corners",
     "resize_bilinear",
     "upflow8",

@@ -93,3 +93,33 @@ def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
     """
     _, h, w, _ = flow.shape
     return 8.0 * resize_bilinear_align_corners(flow, (8 * h, 8 * w))
+
+
+def forward_interpolate(flow):
+    """Forward-splat a (H, W, 2) flow field for warm-starting the next frame.
+
+    Equivalent of the reference `forward_interpolate`
+    (`core/utils/utils.py:26-54`): scatter each pixel's flow to its target
+    location and fill holes by nearest-neighbor interpolation. Host-side
+    (numpy/scipy) — used between video frames at evaluation time, not in the
+    jitted path.
+    """
+    import numpy as np
+    from scipy import interpolate as _interp
+
+    flow = np.asarray(flow)
+    dx, dy = flow[..., 0], flow[..., 1]
+    ht, wd = dx.shape
+    x0, y0 = np.meshgrid(np.arange(wd), np.arange(ht))
+
+    x1 = (x0 + dx).reshape(-1)
+    y1 = (y0 + dy).reshape(-1)
+    dxf = dx.reshape(-1)
+    dyf = dy.reshape(-1)
+
+    valid = (x1 > 0) & (x1 < wd) & (y1 > 0) & (y1 < ht)
+    x1, y1, dxf, dyf = x1[valid], y1[valid], dxf[valid], dyf[valid]
+
+    flow_x = _interp.griddata((x1, y1), dxf, (x0, y0), method="nearest", fill_value=0)
+    flow_y = _interp.griddata((x1, y1), dyf, (x0, y0), method="nearest", fill_value=0)
+    return np.stack([flow_x, flow_y], axis=-1).astype(np.float32)
