@@ -150,7 +150,7 @@ def _forward(x: jnp.ndarray, eps: float) -> jnp.ndarray:
     xr = x.reshape(b, hw_rows, lanes)
 
     sub = 16 if x.dtype == jnp.bfloat16 else 8
-    max_rows = max(sub, (2 * 1024 * 1024) // (lanes * x.dtype.itemsize))
+    max_rows = max(sub, (1024 * 1024) // (lanes * x.dtype.itemsize))
     chunk = min(hw_rows, max_rows)
     chunk = max(sub, (chunk // sub) * sub)
     n_chunks = -(-hw_rows // chunk)
