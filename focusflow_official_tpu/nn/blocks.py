@@ -100,6 +100,56 @@ def conv_transpose2d(
     )
 
 
+class StemConv(nn.Module):
+    """7x7/stride-2/pad-3 stem conv computed via space-to-depth.
+
+    A 3-channel 7x7 stem uses 3/128 of the MXU's input lanes; reshaping the
+    input 2x2-to-depth and the (zero-padded-to-8) kernel to 4x4x(4*in) is
+    mathematically identical (verified to bf16 rounding) and ~7x faster on
+    v5e *standalone* (0.90 -> 0.13 ms at 4x440x1024). NOT wired into the
+    encoders: in the full graph the 6D input transpose breaks XLA's fusion
+    with surrounding elementwise ops and the encoder gets ~2 ms SLOWER
+    (measured 18.6 -> 20.9 ms). Kept for the future Pallas stem where the
+    space-to-depth can fuse into the DMA. Parameters keep the
+    torch-compatible (7, 7, in, out) shape.
+    """
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin, cout = self.in_features, self.features
+        kernel = self.param("kernel", kaiming_out, (7, 7, cin, cout), jnp.float32)
+        bias_init = lambda key, shape, dtype=jnp.float32: torch_bias_init(
+            key, shape, dtype, cin * 49)
+        bias = self.param("bias", bias_init, (cout,), jnp.float32)
+
+        b, h, w, _ = x.shape
+        d = self.dtype
+        x = x.astype(d)
+        if h % 2 or w % 2:  # odd sizes: plain conv (shapes rarely hit this)
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(d), (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST)
+            return y + bias.astype(d)
+
+        # kernel: zero tap at ky=-1/kx=-1, then fold 2x2 phases into channels
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8,8,in,out)
+        ks = kp.reshape(4, 2, 4, 2, cin, cout).transpose(0, 2, 1, 3, 4, 5)
+        ks = ks.reshape(4, 4, 4 * cin, cout).astype(d)
+
+        s2d = x.reshape(b, h // 2, 2, w // 2, 2, cin)
+        s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * cin)
+        y = jax.lax.conv_general_dilated(
+            s2d, ks, (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
+        return y + bias.astype(d)
+
+
 class ResidualBlock(nn.Module):
     in_planes: int
     planes: int
