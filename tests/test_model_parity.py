@@ -171,3 +171,30 @@ def test_ff_raft_frontend_parity(ref_ffraft_modules, mode):
     np.testing.assert_allclose(
         to_nchw(np.asarray(ours_up)), ref_up.numpy(), atol=1e-2, rtol=1e-4
     )
+
+
+def test_fast_path_consistency():
+    """The TPU fast path (bf16 compute + MXU tent-matmul lookup) must stay
+    close to the exact path (f32 + gather lookup) on the same weights."""
+    cfg_exact = FFRaftConfig(fusion="parallel", fuse_cnet=True,
+                             compute_dtype="float32", corr_impl="xla")
+    cfg_fast = FFRaftConfig(fusion="parallel", fuse_cnet=True,
+                            compute_dtype="bfloat16", corr_impl="mxu")
+    m_exact, m_fast = FFRaft(cfg_exact), FFRaft(cfg_fast)
+
+    img1 = jnp.asarray((RNG.rand(1, 128, 160, 3) * 255).astype(np.float32))
+    img2 = jnp.asarray((RNG.rand(1, 128, 160, 3) * 255).astype(np.float32))
+    mk1 = jnp.asarray(((RNG.rand(1, 128, 160, 1) > 0.95) * 255).astype(np.float32))
+    mk2 = jnp.asarray(((RNG.rand(1, 128, 160, 1) > 0.95) * 255).astype(np.float32))
+
+    variables = m_exact.init(jax.random.PRNGKey(3), img1, img2, mk1, mk2, iters=1)
+    # one refinement step: with random (untrained) weights the iteration map
+    # is chaotic, so multi-step comparisons diverge regardless of precision
+    _, up_exact = m_exact.apply(variables, img1, img2, mk1, mk2, iters=1, test_mode=True)
+    _, up_fast = m_fast.apply(variables, img1, img2, mk1, mk2, iters=1, test_mode=True)
+
+    e = np.asarray(up_exact)
+    f = np.asarray(up_fast)
+    scale = max(np.abs(e).max(), 1.0)
+    rel = np.abs(e - f).max() / scale
+    assert rel < 0.05, (rel, scale)
