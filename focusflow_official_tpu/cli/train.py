@@ -104,6 +104,14 @@ def build_model_and_loss(cfg, args):
 
 
 def train(args) -> int:
+    if args.corr_impl == "pallas":
+        from ..ops.pallas_lookup import pallas_lookup_supported
+
+        if not pallas_lookup_supported():
+            raise SystemExit(
+                "--corr-impl pallas: the fused Pallas lookup kernel is not "
+                "available on this backend; use --corr-impl auto/mxu/xla."
+            )
     cfg = load_yaml_config(args.yaml)
     family, model_cfg, model, loss_fn, model_iters = build_model_and_loss(cfg, args)
     seed = int(cfg.GLOBAL.get("SEED", 1234))
@@ -157,15 +165,19 @@ def train(args) -> int:
     twins_factor = None
     if cfg.get("TRAINER") is not None and cfg.TRAINER.get("twins_lr_factor"):
         twins_factor = float(cfg.TRAINER.twins_lr_factor)
+    separate_lr = bool(cfg.TRAIN.get("SEPARATE_LR", False))
     tx = build_optimizer(schedule, clip=clip, freeze_labels=freeze_labels, **opt_kwargs)
     state = create_train_state(model, init_rng, example, tx)
-    if twins_factor is not None:
-        from ..train.surgery import encoder_lr_labels
+    if twins_factor is not None or separate_lr:
+        from ..train.surgery import encoder_lr_labels, flow_net_lr_labels
 
+        if separate_lr:  # flow_net at lr/10 (`ff-raft/train.py:211-233`)
+            labels, factor = flow_net_lr_labels(state.params), 0.1
+        else:
+            labels, factor = encoder_lr_labels(state.params), twins_factor
         tx = build_optimizer(
             schedule, clip=clip, freeze_labels=freeze_labels,
-            encoder_labels=encoder_lr_labels(state.params),
-            encoder_lr_factor=twins_factor, **opt_kwargs,
+            encoder_labels=labels, encoder_lr_factor=factor, **opt_kwargs,
         )
         state = state.replace(tx=tx, opt_state=tx.init(state.params))
 
@@ -229,12 +241,12 @@ def train(args) -> int:
         total += 1
         if total % val_freq == 0 and jax.process_index() == 0:
             ckpt.save(total, state)
-            results = run_validation(cfg, model, state, data_root, mask_root)
+            results = run_validation(cfg, model, state, data_root, mask_root, logger)
             logger.write_dict(results, prefix="val/")
 
     # final validation + params-only export (reference `train.py:377-398`)
     if jax.process_index() == 0:
-        results = run_validation(cfg, model, state, data_root, mask_root)
+        results = run_validation(cfg, model, state, data_root, mask_root, logger)
         logger.write_dict(results, prefix="final/")
         ckpt.save(total, state)
         ckpt.wait()
@@ -246,7 +258,7 @@ def train(args) -> int:
     return 0
 
 
-def run_validation(cfg, model, state, data_root, mask_root) -> Dict:
+def run_validation(cfg, model, state, data_root, mask_root, logger=None) -> Dict:
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     mask_type = cfg.TRAIN.MASK_TYPE
     results: Dict = {}
@@ -266,6 +278,13 @@ def run_validation(cfg, model, state, data_root, mask_root) -> Dict:
                            mask_type=mask_type)
                 results.update(eval_mod.validate_kitti(model, variables, ds, mask_type))
         except (FileNotFoundError, AssertionError, IndexError) as e:
+            # Missing/broken validation data shouldn't kill a long training
+            # run, but it must be loud: log the exception, don't just emit NaN.
+            msg = f"validation on '{val_dataset}' failed: {type(e).__name__}: {e}"
+            if logger is not None:
+                logger.info(msg)
+            else:
+                print(msg)
             results[f"{val_dataset}-error"] = float("nan")
     return results
 
@@ -280,7 +299,8 @@ def main():
     parser.add_argument("--log-dir", default="runs")
     parser.add_argument("--compute-dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
-    parser.add_argument("--corr-impl", default="auto", choices=["auto", "xla", "pallas"])
+    parser.add_argument("--corr-impl", default="auto",
+                        choices=["auto", "xla", "mxu", "pallas"])
     parser.add_argument("--val-freq", type=int, default=5000)
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace into this dir")

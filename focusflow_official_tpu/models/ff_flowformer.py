@@ -215,11 +215,87 @@ class FusionMemoryEncoder(nn.Module):
                                     dtype=d)(cost_volume, context)
 
 
+class MemoryDecoderStep(nn.Module):
+    """One decoder refinement (`decoder.py:93-149` + GRU update), scanned.
+
+    Wrapped in `nn.scan` by `MemoryDecoder` (the same shared-module scan
+    treatment as `ff_raft.RAFTStep`) so 12 iterations compile as ONE step
+    body instead of an unrolled 12x HLO. Module names inside match the
+    reference's per-iteration modules; the importer drops the scan scope.
+    """
+
+    cfg: FlowFormerConfig
+    emit_upsampled: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        cfg = self.cfg
+        d = self.dtype
+        dim = cfg.query_latent_dim
+        net, coords1, _ = carry
+        inp, coords0, cost_maps, k_mem, v_mem, attention = xs
+        b, h1, w1 = coords1.shape[:3]
+        q_count = h1 * w1
+
+        coords1 = jax.lax.stop_gradient(coords1)
+        pyramid = CorrPyramid(levels=(cost_maps,), radius=4)
+        cost_forward = lookup_corr_pyramid(pyramid, coords1, impl=cfg.corr_impl)
+        cost_forward = cost_forward.astype(d)  # (B, H1, W1, 81)
+
+        fte0 = conv2d(dim, 1, 1, 0, name="flow_token_encoder_0", dtype=d)
+        fte2 = conv2d(dim, 1, 1, 0, name="flow_token_encoder_2", dtype=d)
+        query = fte2(nn.gelu(fte0(cost_forward), approximate=False))
+        query = query.reshape(b * q_count, 1, dim)
+
+        # positional query from the current coords (`decoder.py:67-81`)
+        qc = coords1.reshape(b * q_count, 1, 2)
+        qc_enc = linear_position_embedding_sine(qc, dim=dim).astype(d)
+
+        short_cut = query
+        qn = _ln("decoder_layer_cross_attend_norm1", d, eps=1e-5)(query)
+        q_lin = _dense(dim, "decoder_layer_cross_attend_q", d)
+        q = q_lin(qn + qc_enc) if cfg.add_flow_token else q_lin(qc_enc)
+        x = _mha(q, k_mem, v_mem, 8, (dim / 8) ** -0.5)
+        x = _dense(dim, "decoder_layer_cross_attend_proj", d)(
+            jnp.concatenate([x, short_cut], axis=2)
+        )
+        x = short_cut + x
+        xn = _ln("decoder_layer_cross_attend_norm2", d, eps=1e-5)(x)
+        ffn0 = _dense(dim, "decoder_layer_cross_attend_ffn_0", d)
+        ffn3 = _dense(dim, "decoder_layer_cross_attend_ffn_3", d)
+        x = x + ffn3(nn.gelu(ffn0(xn), approximate=False))
+        cost_global = x.reshape(b, h1, w1, dim)
+
+        corr = cost_global if cfg.only_global else jnp.concatenate(
+            [cost_global, cost_forward], axis=-1
+        )
+        flow = (coords1 - coords0).astype(d)
+        cor_planes = dim if cfg.only_global else 81 * cfg.cost_heads_num + dim
+        if cfg.gma:
+            update_block = GMAUpdateBlock(cor_planes, 128, name="update_block",
+                                          dtype=d)
+            net, up_mask, delta = update_block(net, inp, corr, flow, attention)
+        else:
+            update_block = FFBasicUpdateBlock(cor_planes, 128, name="update_block",
+                                              dtype=d)
+            net, up_mask, delta = update_block(net, inp, corr, flow)
+        coords1 = coords1 + delta.astype(jnp.float32)
+        up_mask = up_mask.astype(jnp.float32)
+
+        if self.emit_upsampled:
+            flow_up = convex_upsample(coords1 - coords0, up_mask)
+        else:
+            flow_up = jnp.zeros((), jnp.float32)  # test mode: upsample once after
+        return (net, coords1, up_mask), flow_up
+
+
 class MemoryDecoder(nn.Module):
     """`decoder.py:151-260`: recurrent latent decoding with GMA updates.
 
-    Uses a Python loop with shared submodules (12 iterations); the latent
-    k/v are computed once before the loop.
+    The latent k/v are computed once before the loop (the reference caches
+    them lazily on iter 0, `decoder.py:63-65`); the `decoder_depth`
+    refinements run as one `nn.scan` over a shared-parameter step module.
     """
 
     cfg: FlowFormerConfig
@@ -232,12 +308,11 @@ class MemoryDecoder(nn.Module):
         d = self.dtype
         dim = cfg.query_latent_dim
         b, h1, w1, _ = context.shape
-        q_count = h1 * w1
 
         context = conv2d(256, 1, 1, 0, name="proj", dtype=d)(context)
         net = jnp.tanh(context[..., :128])
         inp = nn.relu(context[..., 128:])
-        attention = None
+        attention = jnp.zeros((), d)
         if cfg.gma:
             attention = GMAAttention(128, 1, 128, name="att", dtype=d)(inp)
 
@@ -248,65 +323,25 @@ class MemoryDecoder(nn.Module):
         k_mem = _dense(dim, "decoder_layer_cross_attend_k", d)(cost_memory)
         v_mem = _dense(dim, "decoder_layer_cross_attend_v", d)(cost_memory)
 
-        # shared per-iteration modules
-        fte0 = conv2d(dim, 1, 1, 0, name="flow_token_encoder_0", dtype=d)
-        fte2 = conv2d(dim, 1, 1, 0, name="flow_token_encoder_2", dtype=d)
-        norm1 = _ln("decoder_layer_cross_attend_norm1", d, eps=1e-5)
-        norm2 = _ln("decoder_layer_cross_attend_norm2", d, eps=1e-5)
-        q_lin = _dense(dim, "decoder_layer_cross_attend_q", d)
-        proj = _dense(dim, "decoder_layer_cross_attend_proj", d)
-        ffn0 = _dense(dim, "decoder_layer_cross_attend_ffn_0", d)
-        ffn3 = _dense(dim, "decoder_layer_cross_attend_ffn_3", d)
-        cor_planes = dim if cfg.only_global else 81 * cfg.cost_heads_num + dim
-        if cfg.gma:
-            update_block = GMAUpdateBlock(cor_planes, 128, name="update_block", dtype=d)
-        else:
-            update_block = FFBasicUpdateBlock(cor_planes, 128, name="update_block", dtype=d)
-
-        pyramid = CorrPyramid(levels=(cost_maps,), radius=4)
-        scale = (dim / 8) ** -0.5
-
-        flow_predictions = []
-        for it in range(cfg.decoder_depth):
-            coords1 = jax.lax.stop_gradient(coords1)
-
-            cost_forward = lookup_corr_pyramid(pyramid, coords1, impl=cfg.corr_impl)
-            cost_forward = cost_forward.astype(d)  # (B, H1, W1, 81)
-
-            query = fte2(nn.gelu(fte0(cost_forward), approximate=False))
-            query = query.reshape(b * q_count, 1, dim)
-
-            # positional query from the current coords (`decoder.py:67-81`)
-            qc = coords1.reshape(b * q_count, 1, 2)
-            qc_enc = linear_position_embedding_sine(qc, dim=dim).astype(d)
-
-            short_cut = query
-            qn = norm1(query)
-            q = q_lin(qn + qc_enc) if cfg.add_flow_token else q_lin(qc_enc)
-            x = _mha(q, k_mem, v_mem, 8, scale)
-            x = proj(jnp.concatenate([x, short_cut], axis=2))
-            x = short_cut + x
-            xn = norm2(x)
-            x = x + ffn3(nn.gelu(ffn0(xn), approximate=False))
-            cost_global = x.reshape(b, h1, w1, dim)
-
-            corr = cost_global if cfg.only_global else jnp.concatenate(
-                [cost_global, cost_forward], axis=-1
-            )
-            flow = (coords1 - coords0).astype(d)
-            if cfg.gma:
-                net, up_mask, delta = update_block(net, inp, corr, flow, attention)
-            else:
-                net, up_mask, delta = update_block(net, inp, corr, flow)
-            coords1 = coords1 + delta.astype(jnp.float32)
-            if (not test_mode) or it == cfg.decoder_depth - 1:
-                flow_up = convex_upsample(coords1 - coords0,
-                                          up_mask.astype(jnp.float32))
-                flow_predictions.append(flow_up)
+        Step = nn.scan(
+            MemoryDecoderStep,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=cfg.decoder_depth,
+        )
+        step = Step(cfg, emit_upsampled=not test_mode, dtype=d, name="update_step")
+        up_mask0 = jnp.zeros((b, h1, w1, 64 * 9), jnp.float32)
+        (net, coords1, up_mask), flows = step(
+            (net, coords1, up_mask0),
+            (inp, coords0, cost_maps, k_mem, v_mem, attention),
+        )
 
         if test_mode:
-            return flow_predictions[-1], coords1 - coords0
-        return jnp.stack(flow_predictions, axis=0)
+            flow_up = convex_upsample(coords1 - coords0, up_mask)
+            return flow_up, coords1 - coords0
+        return flows  # (decoder_depth, B, 8h, 8w, 2)
 
 
 class FlowFormer(nn.Module):

@@ -85,6 +85,23 @@ def freeze_mask_for_parallel(params: Dict) -> Dict:
     return traverse_util.unflatten_dict(labels)
 
 
+def flow_net_lr_labels(params: Dict) -> Dict:
+    """'encoder'/'trainable' labels for TRAIN.SEPARATE_LR.
+
+    The reference (`ff-raft/train.py:211-233`) gives `model.flow_net` its own
+    AdamW + OneCycleLR pair at LR/10 while `fusion_layer` trains at LR.
+    OneCycleLR is linear in max_lr, so the second optimizer is exactly an
+    0.1x lr factor on the flow_net subtree — expressed here as the same
+    label-tree mechanism as FlowFormer's twins_lr_factor (the 'encoder'
+    group gets `encoder_lr_factor` x lr in `build_optimizer`).
+    """
+    flat = traverse_util.flatten_dict(params)
+    labels = {}
+    for path in flat:
+        labels[path] = "encoder" if "flow_net" in path else "trainable"
+    return traverse_util.unflatten_dict(labels)
+
+
 def encoder_lr_labels(params: Dict) -> Dict:
     """'encoder'/'trainable' labels for FlowFormer's twins_lr_factor param
     groups: pretrained feat/context encoders get the scaled LR

@@ -74,6 +74,43 @@ class TestSurgery:
             fnet["mask_layer2_0"]["conv1"]["kernel"], fnet["layer2_0"]["conv1"]["kernel"]
         )
 
+    def test_separate_lr_flow_net_tenth(self):
+        """TRAIN.SEPARATE_LR: flow_net params update at lr/10 of fusion_layer
+        (`ff-raft/train.py:211-233`). Checked via one SGD-like comparison:
+        identical grads on two params, flow_net step must be 10x smaller."""
+        from flax import traverse_util
+
+        from focusflow_official_tpu.train.surgery import flow_net_lr_labels
+
+        # fusion front-end mode: fusion_layer + flow_net as separate subtrees
+        # (in 'parallel' mode the CCE lives inside flow_net and SEPARATE_LR
+        # degenerates to a global lr/10, as in the reference)
+        cfg = FFRaftConfig(fusion="conv", iters=1)
+        model = FFRaft(cfg)
+        b = _tiny_batch(1, 32, 32)
+        v = model.init(jax.random.PRNGKey(0), jnp.asarray(b["image1"]),
+                       jnp.asarray(b["image2"]), jnp.asarray(b["mask1"]),
+                       jnp.asarray(b["mask2"]), iters=1)
+        params = v["params"]
+        labels = flow_net_lr_labels(params)
+        flat = traverse_util.flatten_dict(labels)
+        assert flat[("flow_net", "fnet", "conv1", "kernel")] == "encoder"
+        assert all(lbl == "trainable" for k, lbl in flat.items()
+                   if k[0] == "fusion_layer" or "fusion" in k[0])
+
+        tx = build_optimizer(1e-3, clip=1e9, weight_decay=0.0,
+                             encoder_labels=labels, encoder_lr_factor=0.1)
+        opt_state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, opt_state, params)
+        uflat = traverse_util.flatten_dict(updates)
+        flow_step = np.abs(np.asarray(
+            uflat[("flow_net", "fnet", "conv1", "kernel")])).mean()
+        fusion_key = next(k for k in uflat if k[0] != "flow_net")
+        fusion_step = np.abs(np.asarray(uflat[fusion_key])).mean()
+        # AdamW with uniform grads: |update| ~ lr, so the ratio is ~0.1
+        np.testing.assert_allclose(flow_step / fusion_step, 0.1, rtol=1e-3)
+
     def test_freeze_labels(self):
         v = self._params()
         labels = freeze_mask_for_parallel(v["params"])
