@@ -240,7 +240,8 @@ class MemoryDecoderStep(nn.Module):
 
         coords1 = jax.lax.stop_gradient(coords1)
         pyramid = CorrPyramid(levels=(cost_maps,), radius=4)
-        cost_forward = lookup_corr_pyramid(pyramid, coords1, impl=cfg.corr_impl)
+        cost_forward = lookup_corr_pyramid(pyramid, coords1, impl=cfg.corr_impl,
+                                           num_levels=1)
         cost_forward = cost_forward.astype(d)  # (B, H1, W1, 81)
 
         fte0 = conv2d(dim, 1, 1, 0, name="flow_token_encoder_0", dtype=d)

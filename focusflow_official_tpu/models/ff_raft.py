@@ -58,7 +58,9 @@ class RAFTStep(nn.Module):
 
         # Reference detaches coords each iteration (`raft.py:216`).
         coords1 = jax.lax.stop_gradient(coords1)
-        corr = lookup_corr_pyramid(pyramid, coords1, impl=self.corr_impl).astype(self.dtype)
+        corr = lookup_corr_pyramid(
+            pyramid, coords1, impl=self.corr_impl, num_levels=self.corr_levels
+        ).astype(self.dtype)
         flow = (coords1 - coords0).astype(self.dtype)
 
         if self.small:
@@ -150,7 +152,17 @@ class RAFT(nn.Module):
             fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train=train)
         fmap1, fmap2 = jnp.split(fmaps.astype(jnp.float32), 2, axis=0)
 
-        pyramid = corr_pyramid(all_pairs_corr(fmap1, fmap2), corr_levels, corr_radius)
+        # 'fused' skips pyramid pooling (all levels from the level-0 volume);
+        # measured slower than per-level 'mxu' on v5e (4.6x the MXU FLOPs, see
+        # BENCH.md round 2) so 'auto' keeps the pooled pyramid. On the bf16
+        # compute path the pyramid is stored in bf16: the mxu lookup feeds the
+        # MXU in bf16 anyway, and halving volume HBM traffic is worth 35% of
+        # the per-iteration lookup cost (0.76 -> 0.49 ms measured).
+        corr0 = all_pairs_corr(fmap1, fmap2)
+        if self.corr_impl != "xla" and d == jnp.bfloat16:
+            corr0 = corr0.astype(jnp.bfloat16)
+        pyramid = corr_pyramid(corr0, corr_levels, corr_radius,
+                               fused=self.corr_impl == "fused")
 
         # ---- context network
         cnet_norm = "none" if self.small else "batch"

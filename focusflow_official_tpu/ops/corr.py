@@ -58,8 +58,15 @@ def all_pairs_corr(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
     return corr.reshape(b, h * w, h, w)
 
 
-def corr_pyramid(corr: jnp.ndarray, num_levels: int = 4, radius: int = 4) -> CorrPyramid:
-    """Build the average-pooled pyramid over the last two (target) axes."""
+def corr_pyramid(corr: jnp.ndarray, num_levels: int = 4, radius: int = 4,
+                 fused: bool = False) -> CorrPyramid:
+    """Build the average-pooled pyramid over the last two (target) axes.
+
+    With `fused=True` no pooling happens: the fused lookup computes every
+    level straight from the level-0 volume (`lookup_corr_fused`), so the
+    pyramid carries only that."""
+    if fused:
+        return CorrPyramid(levels=(corr,), radius=radius)
     levels = [corr]
     for _ in range(num_levels - 1):
         corr = avg_pool2x2(corr)
@@ -151,8 +158,96 @@ def _lookup_level_mxu(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int,
     return out.reshape(b, h1, w1, k * k).astype(jnp.float32)
 
 
+def _pool_sizes(h: int, w: int, num_levels: int):
+    """Per-level (H_l, W_l) under floor-semantics 2x2 average pooling."""
+    sizes = [(h, w)]
+    for _ in range(num_levels - 1):
+        h, w = h // 2, w // 2
+        sizes.append((h, w))
+    return sizes
+
+
+def _block_tent_weights(pos: jnp.ndarray, level: int, size0: int,
+                        size_l: int) -> jnp.ndarray:
+    """Tent weights at pyramid level `level`, composed with the exact
+    floor-semantics avg-pool chain, expressed over *level-0* indices.
+
+    pos: (..., K) level-l window positions. Returns (..., K, size0) with
+    w[..., k, y] = 2^-level * tent(pos_k - (y >> level)) * [y < size_l*2^level]
+    — the level-l bilinear tap weight spread uniformly over the 2^level
+    level-0 rows that average-pooled into it (odd trailing rows that floor
+    pooling drops get zero weight, matching `avg_pool2x2` bit-for-bit).
+    """
+    y = jnp.arange(size0, dtype=jnp.int32)
+    yb = (y >> level).astype(jnp.float32)
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - yb))
+    if size_l << level < size0:  # pooled-away trailing rows
+        tent = tent * (y < (size_l << level))
+    return tent * (2.0 ** -level)
+
+
+def lookup_corr_fused(
+    corr0: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int,
+    num_levels: int = 4,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """All pyramid levels' window lookups fused into ONE matmul pair per
+    query, directly on the level-0 volume — no pooled pyramid is ever built.
+
+    Pooling commutes with the (linear) bilinear window sample, so the level-l
+    lookup equals a level-0 lookup with pool-composed "block tent" weights
+    (`_block_tent_weights`). Stacking all levels' weights makes the two
+    contractions (B*Q)x(LK, H2)@(H2, W2) and (LK, W2)-reductions — ~1.9x
+    fewer MXU feed cycles than per-level tent matmuls, and the (2.9 ms at
+    bench shapes) pyramid pooling + its HBM traffic disappear.
+
+    Matches the reference CorrBlock output (`corr.py:29-50`) exactly up to
+    float association; channel order x-offset-major per level, fine-to-coarse.
+    """
+    b, q, h2, w2 = corr0.shape
+    _, h1, w1, _ = coords.shape
+    k = 2 * radius + 1
+    sizes = _pool_sizes(h2, w2, num_levels)
+
+    d = jnp.linspace(-radius, radius, k, dtype=jnp.float32)
+    cx = coords[..., 0].reshape(b, q)
+    cy = coords[..., 1].reshape(b, q)
+
+    sy_all = jnp.concatenate(
+        [
+            _block_tent_weights(cy[..., None] / (2.0 ** l) + d, l, h2, hl)
+            for l, (hl, _) in enumerate(sizes)
+        ],
+        axis=-2,
+    ).astype(dtype)  # (B, Q, L*K, H2)
+    sx_all = jnp.concatenate(
+        [
+            _block_tent_weights(cx[..., None] / (2.0 ** l) + d, l, w2, wl)
+            for l, (_, wl) in enumerate(sizes)
+        ],
+        axis=-2,
+    ).astype(dtype)  # (B, Q, L*K, W2)
+
+    c = corr0.astype(dtype)
+    t = jnp.einsum("bqjy,bqyx->bqjx", sy_all, c,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    o = jnp.einsum("bqjx,bqix->bqji", t.astype(dtype), sx_all,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # (B, Q, LK_j, LK_i)
+
+    outs = []
+    for l in range(num_levels):
+        blk = o[:, :, l * k : (l + 1) * k, l * k : (l + 1) * k]  # (B,Q,j,i)
+        outs.append(blk.transpose(0, 1, 3, 2).reshape(b, h1, w1, k * k))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def lookup_corr_pyramid(
-    pyramid: CorrPyramid, coords: jnp.ndarray, impl: str = "auto"
+    pyramid: CorrPyramid, coords: jnp.ndarray, impl: str = "auto",
+    num_levels: int = 4,
 ) -> jnp.ndarray:
     """Look up the (2r+1)^2 window at `coords` on every level, concat channels.
 
@@ -161,13 +256,22 @@ def lookup_corr_pyramid(
     equivalent of the reference CorrBlock.__call__ (`corr.py:29-50`).
 
     impl:
-      'auto'   — 'mxu' (the TPU-fast path) unless overridden
+      'auto'   — 'fused' when the pyramid holds only level 0, else 'mxu'
       'xla'    — gather-based (exact f32; reference for parity tests)
-      'mxu'    — tent-weight batched matmuls, bf16 inputs / f32 accumulation
-      'pallas' — fused Pallas kernel (when available)
+      'mxu'    — per-level tent-weight batched matmuls, bf16/f32-accum
+      'fused'  — all levels as one matmul pair on level 0 (`lookup_corr_fused`;
+                 requires a pyramid built with `fused=True`, i.e. levels==(corr0,))
+      'pallas' — Pallas patch-extraction kernel. Measured SLOWER than 'mxu'
+                 on v5e (BENCH.md round 2): per-query dynamic rolls can't
+                 beat batched MXU work at these shapes; kept as the
+                 AlternateCorrBlock-style memory-lean option.
     """
     if impl == "auto":
-        impl = "pallas" if pallas_lookup_supported() else "mxu"
+        impl = "fused" if len(pyramid.levels) == 1 and num_levels > 1 else "mxu"
+    if impl == "fused":
+        assert len(pyramid.levels) == 1, "fused lookup wants the unpooled volume"
+        return lookup_corr_fused(pyramid.levels[0], coords, pyramid.radius,
+                                 num_levels=num_levels)
     if impl == "pallas":
         return lookup_corr_pyramid_pallas(pyramid.levels, coords, pyramid.radius)
     outs = []

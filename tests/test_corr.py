@@ -37,3 +37,89 @@ def test_pyramid_shapes():
     pyr = corr_pyramid(all_pairs_corr(f, f), num_levels=4, radius=4)
     assert [lvl.shape for lvl in pyr.levels] == [
         (1, 80, 8, 10), (1, 80, 4, 5), (1, 80, 2, 2), (1, 80, 1, 1)]
+
+
+def _toy_problem(h=13, w=20, c=8, seed=3, spread=4.0):
+    """Odd sizes on purpose: floor pooling drops trailing rows/cols at every
+    level, which the fused block-tent weights must reproduce exactly."""
+    rng = np.random.RandomState(seed)
+    f1 = jnp.asarray(rng.randn(1, h, w, c).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(1, h, w, c).astype(np.float32))
+    gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    coords = np.stack([gx, gy], -1)[None].astype(np.float32)
+    coords = coords + rng.randn(1, h, w, 2).astype(np.float32) * spread
+    coords[:, 0, 0] += 300.0  # fully out of range
+    coords[:, -1, -1] -= 300.0
+    return f1, f2, jnp.asarray(coords)
+
+
+def _xla_reference(f1, f2, coords, radius=4):
+    pyr = corr_pyramid(all_pairs_corr(f1, f2), num_levels=4, radius=radius)
+    return np.asarray(lookup_corr_pyramid(pyr, coords, impl="xla"))
+
+
+class TestFusedLookup:
+    """`lookup_corr_fused`: all levels from the level-0 volume, no pooling."""
+
+    def test_matches_xla_gather(self):
+        from focusflow_official_tpu.ops.corr import lookup_corr_fused
+
+        f1, f2, coords = _toy_problem()
+        want = _xla_reference(f1, f2, coords)
+        got = np.asarray(lookup_corr_fused(
+            all_pairs_corr(f1, f2), coords, 4, 4, dtype=jnp.float32))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+    def test_auto_routes_fused_pyramid(self):
+        f1, f2, coords = _toy_problem(h=16, w=16)
+        want = _xla_reference(f1, f2, coords)
+        pyr = corr_pyramid(all_pairs_corr(f1, f2), 4, 4, fused=True)
+        assert len(pyr.levels) == 1
+        got = np.asarray(lookup_corr_pyramid(pyr, coords, impl="auto",
+                                             num_levels=4))
+        # default fused dtype is bf16: loose bound
+        np.testing.assert_allclose(got, want, atol=0.35, rtol=0.05)
+
+
+class TestPallasLookup:
+    """Pallas patch-extraction kernel (interpret mode on CPU)."""
+
+    def test_matches_xla_gather(self):
+        from focusflow_official_tpu.ops.pallas_lookup import (
+            lookup_corr_pyramid_pallas,
+        )
+
+        f1, f2, coords = _toy_problem(h=16, w=24, spread=6.0)
+        want = _xla_reference(f1, f2, coords)
+        levels = corr_pyramid(all_pairs_corr(f1, f2), 4, 4).levels
+        got = np.asarray(lookup_corr_pyramid_pallas(levels, coords, 4))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+    def test_custom_vjp_grads_match_xla(self):
+        import jax
+
+        from focusflow_official_tpu.ops.pallas_lookup import (
+            lookup_corr_pyramid_pallas,
+        )
+
+        f1, f2, coords = _toy_problem(h=8, w=16, c=4, spread=2.0)
+        levels = corr_pyramid(all_pairs_corr(f1, f2), 4, 4).levels
+
+        def loss_pallas(levels, coords):
+            out = lookup_corr_pyramid_pallas(levels, coords, 4)
+            return jnp.sum(jnp.sin(out * 0.1))
+
+        def loss_xla(levels, coords):
+            from focusflow_official_tpu.ops.corr import CorrPyramid
+
+            pyr = CorrPyramid(levels=levels, radius=4)
+            out = lookup_corr_pyramid(pyr, coords, impl="xla")
+            return jnp.sum(jnp.sin(out * 0.1))
+
+        gl_p, gc_p = jax.grad(loss_pallas, argnums=(0, 1))(tuple(levels), coords)
+        gl_x, gc_x = jax.grad(loss_xla, argnums=(0, 1))(tuple(levels), coords)
+        for a, b in zip(gl_p, gl_x):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-2, rtol=5e-2)
+        np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_x),
+                                   atol=5e-2, rtol=5e-2)
