@@ -36,27 +36,74 @@ _SEQ_RE = re.compile(r"^(.+)_(\d+)$")
 _LITERAL_NAMES = {"conv_1", "conv_2", "conv_01"}
 
 
+def _seq_expand(comp: str) -> str:
+    """Recursively expand trailing _<digits> into '.<digits>' (blocks_0_1 ->
+    blocks.0.1, layer1_0 -> layer1.0)."""
+    m = _SEQ_RE.match(comp)
+    if not m:
+        return comp
+    return f"{_seq_expand(m.group(1))}.{m.group(2)}"
+
+
 def torch_key_for_path(path: tuple, collection: str) -> str:
     """Map a flax variable path (without collection) to the torch state_dict key."""
     comps = []
-    for comp in path[:-1]:
-        if comp == "update_step":
-            continue  # nn.scan wrapper: torch has flow_net.update_block directly
+    i = 0
+    while i < len(path) - 1:
+        comp = path[i]
+        if comp in ("update_step", "ctx"):
+            # update_step: nn.scan wrapper (torch has update_block directly);
+            # ctx: context-projection submodule wrapper (torch keeps
+            # context_proj on the attention module itself)
+            i += 1
+            continue
         if comp == "downsample_conv":
             comps.append("downsample.0")
+            i += 1
             continue
         if comp.endswith("_body"):  # ChannelLayerNorm: norm1_image_body -> norm1_image.body
             comps.append(comp[: -len("_body")] + ".body")
+            i += 1
+            continue
+        if comp.endswith("_svt"):
+            # FlowFormer twins wrappers: our flat `context_encoder_svt` scope
+            # spans torch's {context_encoder}.{svt | mask_svt | fusion_blks}
+            # (`encoders.py:6-36,131-174`). The branch is decided by the next
+            # path component: mask_* -> mask_svt (prefix stripped),
+            # fusion_blks* -> on the wrapper itself, else -> svt.
+            base = comp[: -len("_svt")]
+            comps.append(base)
+            nxt = path[i + 1] if i + 1 < len(path) - 1 else path[-1]
+            if isinstance(nxt, str) and nxt.startswith("fusion_blks"):
+                pass  # fusion units live on the wrapper module
+            elif isinstance(nxt, str) and nxt.startswith("mask_"):
+                comps.append("mask_svt")
+                comps.append(_seq_expand(nxt[len("mask_"):]))
+                i += 2
+                continue
+            else:
+                comps.append("svt")
+            i += 1
+            continue
+        if comp.startswith("decoder_layer_cross_attend_"):
+            # MemoryDecoderLayer cross attention (`decoder.py:29-91`)
+            comps.append("decoder_layer.cross_attend."
+                         + _seq_expand(comp[len("decoder_layer_cross_attend_"):]))
+            i += 1
             continue
         if comp in _LITERAL_NAMES:
             comps.append(comp)
+            i += 1
             continue
-        m = _SEQ_RE.match(comp)
-        comps.append(f"{m.group(1)}.{m.group(2)}" if m else comp)
+        comps.append(_seq_expand(comp))
+        i += 1
 
     leaf = path[-1]
     if collection == "batch_stats":
         leaf_name = {"mean": "running_mean", "var": "running_var"}[leaf]
+    elif leaf in ("pos_emb_rel_height", "pos_emb_rel_width"):
+        # GMA RelPosEmb embedding tables (`gma.py:12-32`)
+        leaf_name = f"pos_emb.{leaf[len('pos_emb_'):]}.weight"
     else:
         leaf_name = {"kernel": "weight", "scale": "weight", "bias": "bias"}.get(leaf, leaf)
     return ".".join(comps + [leaf_name])
