@@ -162,11 +162,9 @@ class ResidualBlock(nn.Module):
         d = self.dtype
         num_groups = self.planes // 8
         y = conv2d(self.planes, 3, self.stride, 1, name="conv1", dtype=d, in_features=self.in_planes)(x)
-        y = Norm(self.norm_fn, self.planes, num_groups, name="norm1", dtype=d)(y, use_running_average)
-        y = nn.relu(y)
+        y = Norm(self.norm_fn, self.planes, num_groups, name="norm1", dtype=d)(y, use_running_average, fuse_relu=True)
         y = conv2d(self.planes, 3, 1, 1, name="conv2", dtype=d, in_features=self.planes)(y)
-        y = Norm(self.norm_fn, self.planes, num_groups, name="norm2", dtype=d)(y, use_running_average)
-        y = nn.relu(y)
+        y = Norm(self.norm_fn, self.planes, num_groups, name="norm2", dtype=d)(y, use_running_average, fuse_relu=True)
 
         if self.stride != 1:
             x = conv2d(self.planes, 1, self.stride, 0, name="downsample_conv", dtype=d, in_features=self.in_planes)(x)
@@ -187,14 +185,11 @@ class BottleneckBlock(nn.Module):
         p4 = self.planes // 4
         num_groups = self.planes // 8
         y = conv2d(p4, 1, 1, 0, name="conv1", dtype=d, in_features=self.in_planes)(x)
-        y = Norm(self.norm_fn, p4, num_groups, name="norm1", dtype=d)(y, use_running_average)
-        y = nn.relu(y)
+        y = Norm(self.norm_fn, p4, num_groups, name="norm1", dtype=d)(y, use_running_average, fuse_relu=True)
         y = conv2d(p4, 3, self.stride, 1, name="conv2", dtype=d, in_features=p4)(y)
-        y = Norm(self.norm_fn, p4, num_groups, name="norm2", dtype=d)(y, use_running_average)
-        y = nn.relu(y)
+        y = Norm(self.norm_fn, p4, num_groups, name="norm2", dtype=d)(y, use_running_average, fuse_relu=True)
         y = conv2d(self.planes, 1, 1, 0, name="conv3", dtype=d, in_features=p4)(y)
-        y = Norm(self.norm_fn, self.planes, num_groups, name="norm3", dtype=d)(y, use_running_average)
-        y = nn.relu(y)
+        y = Norm(self.norm_fn, self.planes, num_groups, name="norm3", dtype=d)(y, use_running_average, fuse_relu=True)
 
         if self.stride != 1:
             x = conv2d(self.planes, 1, self.stride, 0, name="downsample_conv", dtype=d, in_features=self.in_planes)(x)

@@ -38,12 +38,10 @@ class BasicParallelFusionLayer(nn.Module):
         ft = self.fusion_type
 
         mask = conv2d(64, 7, 2, 3, name="mask_conv1", dtype=d, in_features=self.mask_channel)(mask)
-        mask = Norm(self.norm_fn, 64, 8, name="mask_norm1", dtype=d)(mask, ura)
-        mask = nn.relu(mask)
+        mask = Norm(self.norm_fn, 64, 8, name="mask_norm1", dtype=d)(mask, ura, fuse_relu=True)
 
         x = conv2d(64, 7, 2, 3, name="conv1", dtype=d, in_features=self.img_channel)(x)
-        x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura)
-        x = nn.relu(x)
+        x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True)
 
         mask, x = FusionUnit(64, ft, True, name="fusion1", dtype=d)(mask, x)
 

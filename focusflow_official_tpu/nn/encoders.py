@@ -29,8 +29,7 @@ class BasicEncoder(nn.Module):
         d = self.dtype
         ura = (not train) or self.freeze_bn  # use_running_average for batch norms
         x = conv2d(64, 7, 2, 3, name="conv1", dtype=d, in_features=self.in_channel)(x)
-        x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura)
-        x = nn.relu(x)
+        x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True)
 
         dims = [(64, 64, 1), (64, 96, 2), (96, 128, 2)]
         for li, (cin, cout, stride) in enumerate(dims, start=1):
@@ -57,8 +56,7 @@ class SmallEncoder(nn.Module):
         d = self.dtype
         ura = (not train) or self.freeze_bn
         x = conv2d(32, 7, 2, 3, name="conv1", dtype=d, in_features=self.in_channels)(x)
-        x = Norm(self.norm_fn, 32, 8, name="norm1", dtype=d)(x, ura)
-        x = nn.relu(x)
+        x = Norm(self.norm_fn, 32, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True)
 
         dims = [(32, 32, 1), (32, 64, 2), (64, 96, 2)]
         for li, (cin, cout, stride) in enumerate(dims, start=1):
