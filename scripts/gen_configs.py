@@ -51,6 +51,7 @@ def raft_cfg(name, *, stage="chairs", steps=250000, batch=10, image=(368, 496),
 
 def pwc_cfg(name, *, stage="chairs", steps=1200000, batch=8, lr=1e-4,
             mask_type="orb", mode="pretrain", load_module=None,
+            fusion="parallel", loss_type="MixLoss",
             val=("chairs", "sintel")):
     return {
         "GLOBAL": {"NAME": name, "MIXED_PRECISION": False, "SEED": 1234,
@@ -59,7 +60,7 @@ def pwc_cfg(name, *, stage="chairs", steps=1200000, batch=8, lr=1e-4,
         "TRAIN": {"STAGE": stage, "PRETRAIN": None, "RESTORE_CHECKPOINT": None,
                   "ADD_NOISE": True, "NUM_STEPS": steps, "BATCH_SIZE": batch,
                   "IMAGE_SIZE": [368, 496], "SEPARATE_LR": False,
-                  "LOSS_TYPE": "MixLoss", "MASK_TYPE": mask_type,
+                  "LOSS_TYPE": loss_type, "MASK_TYPE": mask_type,
                   "MASK_MODAL": "point", "MASK_CHANNEL": 3, "MASK_DILATE": 31,
                   "KERNEL_SIZE": 31, "KERNEL_SIGMA": 5, "CLIP": 1.0,
                   "MAX_FLOW": 400, "LOSS_MODE": mode,
@@ -67,7 +68,7 @@ def pwc_cfg(name, *, stage="chairs", steps=1200000, batch=8, lr=1e-4,
                   "LOSS_Q": None if mode == "pretrain" else 0.4,
                   "LOSS_EPSILON": None if mode == "pretrain" else 0.01,
                   "LOSS_KERNEL_SIZE": 1, "LOSS_SIGMA": 0.01, "LOSS_LAMDA": 1},
-        "MODEL": {"FUSION": "parallel", "FUSION_TYPE": "1x1conv",
+        "MODEL": {"FUSION": fusion, "FUSION_TYPE": "1x1conv",
                   "FUSION_CHANNEL": None, "LOAD_MODULE": load_module,
                   "FREEZE_MODULE": False, "DROPOUT": 0.0, "ALT_CORR": False},
         "CRITERION": {"VAL_DATASET": list(val)},
@@ -77,7 +78,8 @@ def pwc_cfg(name, *, stage="chairs", steps=1200000, batch=8, lr=1e-4,
 
 
 def flowformer_cfg(name, *, stage="chairs", steps=250000, batch=6, lr=2.5e-4,
-                   mask_type="orb", load_former=None, val=("chairs", "sintel")):
+                   mask_type="orb", load_former=None, fusion="parallel",
+                   wd=1e-4, val=("chairs", "sintel")):
     return {
         "GLOBAL": {"NAME": name, "MIXED_PRECISION": False, "SEED": 1234,
                    "CUDNN_ENABLED": True, "ALLOW_TF32": True, "NUM_THREADS": 16,
@@ -89,7 +91,7 @@ def flowformer_cfg(name, *, stage="chairs", steps=250000, batch=6, lr=2.5e-4,
                   "KERNEL_SIZE": 31, "KERNEL_SIGMA": 5, "LOSS_GAMMA": 0.8,
                   "MAX_FLOW": 400, "LOSS_KERNEL_SIZE": 1, "LOSS_SIGMA": 0.01,
                   "LOSS_LAMDA": 1},
-        "MODEL": {"FUSION": "parallel", "MASK_MODAL": "point",
+        "MODEL": {"FUSION": fusion, "MASK_MODAL": "point",
                   "MASK_CHANNEL": 3, "MASK_DILATE": 31,
                   "pe": "linear", "dropout": 0.0, "encoder_latent_dim": 256,
                   "query_latent_dim": 64, "cost_latent_input_dim": 64,
@@ -104,7 +106,7 @@ def flowformer_cfg(name, *, stage="chairs", steps=250000, batch=6, lr=2.5e-4,
                   "load_former": load_former, "ALT_CORR": False},
         "CRITERION": {"VAL_DATASET": list(val)},
         "TRAINER": {"scheduler": "OneCycleLR", "optimizer": "adamw",
-                    "canonical_lr": lr, "adamw_decay": 1e-4, "clip": 1.0,
+                    "canonical_lr": lr, "adamw_decay": wd, "clip": 1.0,
                     "num_steps": steps, "epsilon": 1e-8,
                     "anneal_strategy": "linear"},
     }
@@ -167,12 +169,27 @@ def main():
         "ablation-train-prompt-tune", load_module="pretrain/raft-chairs.pth",
         freeze=True)
 
-    # --- FF-PWC experiments (reference ff-pwcnet/config/*)
-    configs["ff-pwcnet/pwc_chairs.yaml"] = pwc_cfg("pwcnet-chairs")
+    # --- FF-PWC experiments (reference ff-pwcnet/config/*, 12 yamls)
+    configs["ff-pwcnet/pwc_chairs.yaml"] = pwc_cfg(
+        "pwcnet-chairs", fusion=None, loss_type="EPELoss", steps=250000,
+        lr=4e-4)
+    configs["ff-pwcnet/pwc_things.yaml"] = pwc_cfg(
+        "pwcnet-things", fusion=None, loss_type="EPELoss", stage="things",
+        steps=500000, lr=1e-4, mode="robust")
+    # step-count/lr chairs variants (`config/ffpwc_chairs{,_500k,_1200k}.yaml`)
+    configs["ff-pwcnet/ffpwc_chairs.yaml"] = pwc_cfg(
+        "ffpwcnet-chairs-lr4e-4_250k", steps=250000, lr=4e-4,
+        load_module="pretrain/pwcnet-chairs.pth")
+    configs["ff-pwcnet/ffpwc_chairs_500k.yaml"] = pwc_cfg(
+        "ffpwcnet-chairs-lr1e-4_500k", steps=500000,
+        load_module="pretrain/pwcnet-chairs.pth")
     for mt in ("orb", "gf", "sift", "silk"):
         configs[f"ff-pwcnet/ffpwc_chairs_{mt}_1200k.yaml"] = pwc_cfg(
             f"ffpwcnet-chairs-{mt}-1200k", mask_type=mt,
             load_module="pretrain/pwcnet-chairs.pth")
+    configs["ff-pwcnet/ffpwc_things_1e-4.yaml"] = pwc_cfg(
+        "ffpwcnet-things-1e-4", stage="things", steps=500000, lr=1e-4,
+        mode="robust")
     configs["ff-pwcnet/ffpwc_things.yaml"] = pwc_cfg(
         "ffpwcnet-things", stage="things", steps=500000, lr=1e-4, mode="robust")
     configs["ff-pwcnet/ffpwc_sintel.yaml"] = pwc_cfg(
@@ -196,6 +213,18 @@ def main():
     configs["ff-flowformer/ff_kitti.yaml"] = flowformer_cfg(
         "ff-flowformer-kitti", stage="kitti", steps=100000, batch=6, lr=1e-4,
         val=("kitti",))
+    configs["ff-flowformer/ff_things_wd1e-5.yaml"] = flowformer_cfg(
+        "ff-flowformer-things-wd1e-5", stage="things", steps=250000, batch=6,
+        lr=2.5e-4, wd=1e-5)
+    # vanilla FlowFormer baselines (`config/{chairs,sintel,kitti}.yaml`)
+    configs["ff-flowformer/chairs.yaml"] = flowformer_cfg(
+        "flowformer-chairs", steps=120000, fusion=None)
+    configs["ff-flowformer/sintel.yaml"] = flowformer_cfg(
+        "flowformer-sintel", stage="sintel", steps=120000, lr=1.25e-4,
+        fusion=None, val=("sintel",))
+    configs["ff-flowformer/kitti.yaml"] = flowformer_cfg(
+        "flowformer-kitti", stage="kitti", steps=50000, lr=1e-4,
+        fusion=None, val=("kitti",))
 
     for rel, cfg in configs.items():
         path = os.path.join(OUT, rel)
