@@ -21,10 +21,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-# instance norms route through the fused Pallas kernel on TPU by default
-# (measured ~11.5 ms -> ~2 ms across the CCE encoder's 30 norms, BENCH.md);
-# FF_PALLAS_INSTANCE_NORM=0 opts out.
-_USE_PALLAS_INSTANCE_NORM = os.environ.get("FF_PALLAS_INSTANCE_NORM", "1") == "1"
+# Opt-in: route instance norms through the fused Pallas kernel
+# (FF_PALLAS_INSTANCE_NORM=1). Measured round 2 (BENCH.md): the kernel
+# itself is at HBM roofline (norm cost 11.5 -> 2.6 ms across the CCE
+# encoder), but mosaic custom calls pin row-major layouts at their
+# boundaries, which halves the surrounding convolutions' throughput
+# (13.1 ms vs 6.5 with XLA-free layouts) — a net loss at the model level
+# (21.6 vs 22.1 fps). Default stays on the XLA formulation until the
+# layout boundary is solved; the kernel + tests remain for that round.
+_USE_PALLAS_INSTANCE_NORM = os.environ.get("FF_PALLAS_INSTANCE_NORM", "0") == "1"
 
 
 def _pallas_in_ok() -> bool:
