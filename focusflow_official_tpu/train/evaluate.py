@@ -1,13 +1,17 @@
 """Validation protocol: chairs / Sintel / KITTI (AEPE, keypoint-EPE, F1).
 
 The exact reference protocol (`/root/reference/core/models/ff-raft/
-evaluate.py:18-134`): chairs at 12 iters b=1; Sintel clean+final at 32
-iters with sintel-mode pad-to-/8; KITTI at 32 iters with kitti padding,
-F1 = %((epe>3) & (epe/mag>0.05)); keypoint-EPE over `mask1 > 0.5` pixels
-(the raw 0/255 mask, replicate-padded then un-padded with the flow).
+evaluate.py:18-134`): chairs at 12 iters; Sintel clean+final at 32 iters
+with sintel-mode pad-to-/8; KITTI at 32 iters with kitti padding,
+F1 = %((epe>3) & (epe/mag>0.05)); keypoint-EPE over `mask1 > 0.5` pixels.
 
-TPU-shaped: each dataset is evaluated through ONE jit'd forward at a fixed
-padded size (bucketed), with per-image metric reductions on device.
+TPU-shaped (round 2): one jit per dataset computes forward + unpad + the
+per-image metric REDUCTIONS on device, returning a handful of scalars.
+The loop queues those device scalars and fetches once at the end — through
+the tunnel a host fetch costs ~30 ms, so per-sample `np.asarray` turned a
+700-frame Sintel pass into fetch-dominated wall clock. Metric definitions
+are unchanged: frame-mean quantities stay per-image scalars, pixel-pooled
+quantities stay (sum, count) pairs.
 """
 
 from __future__ import annotations
@@ -22,48 +26,82 @@ import numpy as np
 from ..ops.padding import InputPadder
 
 
-def _epe_map(flow, flow_gt):
-    return jnp.sqrt(jnp.sum((flow - flow_gt) ** 2, axis=-1))
+def _forward_flow(model, variables, args, iters):
+    out = model.apply(variables, *args, iters=iters, test_mode=True)
+    if isinstance(out, (tuple, list)):
+        full = [o for o in out if o.shape[1:3] == args[0].shape[1:3]]
+        return full[0]
+    return out
 
 
 def make_eval_forward(model, variables, iters: int):
-    """jit'd (image1, image2, mask1, mask2) -> upsampled flow (NHWC).
+    """jit'd (image1, image2, mask1, mask2) -> upsampled flow (NHWC)."""
 
-    Normalizes the families' test-mode returns: RAFT -> (lowres, up),
-    FlowFormer -> (up, lowres), PWC -> up.
-    """
-
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def forward(image1, image2, mask1, mask2):
-        out = model.apply(
-            variables, image1, image2, mask1, mask2, iters=iters, test_mode=True
-        )
-        if isinstance(out, (tuple, list)):
-            full = [o for o in out if o.shape[1:3] == image1.shape[1:3]]
-            return full[0]
-        return out
+        return _forward_flow(model, variables, (image1, image2, mask1, mask2),
+                             iters)
 
     return forward
 
 
-def validate_chairs(model, variables, dataset, mask_type: str = "orb",
-                    iters: int = 12, progress: Optional[Callable] = None) -> Dict:
-    forward = make_eval_forward(model, variables, iters)
-    aepe_all, mepe_list = [], []
+def _make_metrics_fn(model, variables, iters: int, pad_mode: Optional[str]):
+    """jit'd per-sample metrics, all reductions on device.
+
+    Returns (epe_sum, px_count, mask_epe_mean_or_nan, kitti_epe_mean,
+    outlier_sum, valid_count) as device scalars.
+    """
+
+    @jax.jit
+    def metrics(image1, image2, mask1, mask2, flow_gt, valid):
+        if pad_mode is not None:
+            padder = InputPadder(image1.shape, mode=pad_mode)
+            pi1, pi2, pm1, pm2 = padder.pad(image1, image2, mask1, mask2)
+            flow = padder.unpad(
+                _forward_flow(model, variables, (pi1, pi2, pm1, pm2), iters))
+        else:
+            flow = _forward_flow(model, variables,
+                                 (image1, image2, mask1, mask2), iters)
+        epe = jnp.sqrt(jnp.sum((flow[0] - flow_gt) ** 2, axis=-1))  # (H, W)
+        mag = jnp.sqrt(jnp.sum(flow_gt ** 2, axis=-1))
+        val = valid >= 0.5
+
+        sel = (mask1[0, ..., 0] > 0.5) & val
+        n_sel = jnp.sum(sel)
+        mepe = jnp.where(n_sel > 0, jnp.sum(jnp.where(sel, epe, 0.0)) / n_sel,
+                         jnp.nan)
+
+        epe_sum = jnp.sum(jnp.where(val, epe, 0.0))
+        n_val = jnp.sum(val)
+        out = (epe > 3.0) & ((epe / jnp.maximum(mag, 1e-12)) > 0.05) & val
+        return (epe_sum, n_val, mepe, epe_sum / n_val, jnp.sum(out), n_val)
+
+    return metrics
+
+
+def _collect(dataset, metrics_fn, progress):
+    per_sample = []
     for i in range(len(dataset)):
         s = dataset[i]
-        args = [jnp.asarray(s[k][None]) for k in ("image1", "image2", "mask1", "mask2")]
-        flow = forward(*args)
-        aepe = np.asarray(_epe_map(flow[0], jnp.asarray(s["flow"])))
-        aepe_all.append(aepe.ravel())
-        sel = s["mask1"][..., 0] > 0.5
-        if sel.any():
-            mepe_list.append(aepe[sel].mean())
+        valid = s.get("valid")
+        if valid is None:
+            valid = np.ones(s["flow"].shape[:2], np.float32)
+        per_sample.append(metrics_fn(
+            *[jnp.asarray(s[k][None]) for k in ("image1", "image2", "mask1", "mask2")],
+            jnp.asarray(s["flow"]), jnp.asarray(valid),
+        ))
         if progress:
             progress(i, len(dataset))
+    # ONE transfer for the whole dataset (forces the queued chain)
+    return np.asarray(jax.device_get(per_sample))  # (N, 6)
+
+
+def validate_chairs(model, variables, dataset, mask_type: str = "orb",
+                    iters: int = 12, progress: Optional[Callable] = None) -> Dict:
+    m = _collect(dataset, _make_metrics_fn(model, variables, iters, None), progress)
     return {
-        "chairs": float(np.mean(np.concatenate(aepe_all))),
-        f"chairs-{mask_type}": float(np.mean(mepe_list)),
+        "chairs": float(m[:, 0].sum() / m[:, 1].sum()),
+        f"chairs-{mask_type}": float(np.nanmean(m[:, 2])),
     }
 
 
@@ -73,61 +111,19 @@ def validate_sintel(model, variables, datasets: Dict[str, object],
     """datasets: {'clean': MpiSintel(...), 'final': MpiSintel(...)} val splits."""
     results = {}
     for dstype, dataset in datasets.items():
-        forward = None
-        aepe_all, mepe_list = [], []
-        for i in range(len(dataset)):
-            s = dataset[i]
-            padder = InputPadder(s["image1"][None].shape)
-            img1, img2, m1, m2 = padder.pad(
-                *[jnp.asarray(s[k][None]) for k in ("image1", "image2", "mask1", "mask2")]
-            )
-            if forward is None:
-                fwd = make_eval_forward(model, variables, iters)
-                forward = fwd
-            flow = padder.unpad(forward(img1, img2, m1, m2))
-            mask1 = np.asarray(padder.unpad(m1))[0]
-            aepe = np.asarray(_epe_map(flow[0], jnp.asarray(s["flow"])))
-            aepe_all.append(aepe.ravel())
-            sel = mask1[..., 0] > 0.5
-            if sel.any():
-                mepe_list.append(aepe[sel].mean())
-            if progress:
-                progress(i, len(dataset))
-        results[f"sintel-{dstype}"] = float(np.mean(np.concatenate(aepe_all)))
-        results[f"sintel-{dstype}-{mask_type}"] = float(np.mean(mepe_list))
+        m = _collect(dataset,
+                     _make_metrics_fn(model, variables, iters, "sintel"), progress)
+        results[f"sintel-{dstype}"] = float(m[:, 0].sum() / m[:, 1].sum())
+        results[f"sintel-{dstype}-{mask_type}"] = float(np.nanmean(m[:, 2]))
     return results
 
 
 def validate_kitti(model, variables, dataset, mask_type: str = "orb",
                    iters: int = 32, progress: Optional[Callable] = None) -> Dict:
-    forward = None
-    out_list, aepe_list, mepe_list = [], [], []
-    for i in range(len(dataset)):
-        s = dataset[i]
-        padder = InputPadder(s["image1"][None].shape, mode="kitti")
-        img1, img2, m1, m2 = padder.pad(
-            *[jnp.asarray(s[k][None]) for k in ("image1", "image2", "mask1", "mask2")]
-        )
-        if forward is None:
-            forward = make_eval_forward(model, variables, iters)
-        flow = np.asarray(padder.unpad(forward(img1, img2, m1, m2)))[0]
-        mask1 = np.asarray(padder.unpad(m1))[0]
-
-        epe = np.sqrt(np.sum((flow - s["flow"]) ** 2, axis=-1)).ravel()
-        mag = np.sqrt(np.sum(s["flow"] ** 2, axis=-1)).ravel()
-        val = s["valid"].ravel() >= 0.5
-
-        sel = (mask1[..., 0].ravel() > 0.5) & val
-        if sel.any():
-            mepe_list.append(epe[sel].mean())
-        out = ((epe > 3.0) & ((epe / np.maximum(mag, 1e-12)) > 0.05)).astype(np.float32)
-        aepe_list.append(epe[val].mean())
-        out_list.append(out[val])
-        if progress:
-            progress(i, len(dataset))
-
+    m = _collect(dataset, _make_metrics_fn(model, variables, iters, "kitti"),
+                 progress)
     return {
-        "kitti-epe": float(np.mean(aepe_list)),
-        "kitti-f1": float(100 * np.mean(np.concatenate(out_list))),
-        f"kitti-{mask_type}": float(np.mean(mepe_list)),
+        "kitti-epe": float(np.mean(m[:, 3])),  # mean of per-image means
+        "kitti-f1": float(100 * m[:, 4].sum() / m[:, 5].sum()),
+        f"kitti-{mask_type}": float(np.nanmean(m[:, 2])),
     }
