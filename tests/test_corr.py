@@ -58,6 +58,22 @@ def _xla_reference(f1, f2, coords, radius=4):
     return np.asarray(lookup_corr_pyramid(pyr, coords, impl="xla"))
 
 
+def test_mxu_lookup_matches_xla_at_f32():
+    """The production tent-matmul formulation vs the gather reference, both
+    f32: isolates formulation error from bf16 rounding (the model-level
+    fast-path test can only bound the two together)."""
+    from focusflow_official_tpu.ops.corr import _lookup_level_mxu, _lookup_level
+
+    f1, f2, coords = _toy_problem(h=16, w=24, spread=6.0)
+    levels = corr_pyramid(all_pairs_corr(f1, f2), 4, 4).levels
+    for i, lvl in enumerate(levels):
+        want = np.asarray(_lookup_level(lvl, coords / (2.0 ** i), 4))
+        got = np.asarray(_lookup_level_mxu(lvl, coords / (2.0 ** i), 4,
+                                           dtype=jnp.float32))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4,
+                                   err_msg=f"level {i}")
+
+
 class TestFusedLookup:
     """`lookup_corr_fused`: all levels from the level-0 volume, no pooling."""
 

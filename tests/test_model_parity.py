@@ -198,5 +198,12 @@ def test_fast_path_consistency():
     f = np.asarray(up_fast)
     scale = max(np.abs(e).max(), 1.0)
     rel = np.abs(e - f).max() / scale
-    # untrained weights amplify bf16 noise; trained nets are far tighter
+    # Untrained weights amplify bf16 noise (calibrated round 2: even 30
+    # training steps leave the iteration map chaotic — rel ~0.67 at 3
+    # iters). A tight trained-weights multi-iteration bound needs a real
+    # checkpoint, which cannot be produced or downloaded in this
+    # environment; until then this 1-iter bound plus the f32
+    # formulation-parity gates in test_corr.py are the decomposition:
+    # formulation error <= 2e-4 (exact), so everything beyond that here
+    # is bf16 rounding.
     assert rel < 0.15, (rel, scale)
