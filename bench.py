@@ -24,6 +24,10 @@ TARGET_FACTOR = 2.0
 
 def main():
     import jax
+
+    # persistent XLA compile cache: repeat runs skip the ~4-8 min compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ff_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from focusflow_official_tpu.models import FFRaft, FFRaftConfig

@@ -300,7 +300,7 @@ def main():
     parser.add_argument("--compute-dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--corr-impl", default="auto",
-                        choices=["auto", "xla", "mxu", "pallas"])
+                        choices=["auto", "xla", "mxu", "fused", "pallas"])
     parser.add_argument("--val-freq", type=int, default=5000)
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace into this dir")

@@ -32,13 +32,18 @@ from flax import traverse_util
 _SEQ_RE = re.compile(r"^(.+)_(\d+)$")
 
 # ...except torch attribute names that genuinely contain a trailing _<digit>
-# (the UNet fusion front-end, `fusion.py:45-47,168`)
-_LITERAL_NAMES = {"conv_1", "conv_2", "conv_01"}
+# (the UNet fusion front-end, `fusion.py:45-47,168`) — recursion stops when
+# the remaining prefix is one of these literals
+_LITERAL_NAMES = {"conv_1", "conv_2", "conv_01", "down_path_1", "up_path_1",
+                  "skip_conv_1", "relu_1", "relu_2"}
 
 
 def _seq_expand(comp: str) -> str:
-    """Recursively expand trailing _<digits> into '.<digits>' (blocks_0_1 ->
-    blocks.0.1, layer1_0 -> layer1.0)."""
+    """Expand trailing _<digits> into '.<digits>', recursively (blocks_0_1 ->
+    blocks.0.1, layer1_0 -> layer1.0) but never past a literal torch
+    attribute name (down_path_1_1 -> down_path_1.1)."""
+    if comp in _LITERAL_NAMES:
+        return comp
     m = _SEQ_RE.match(comp)
     if not m:
         return comp
