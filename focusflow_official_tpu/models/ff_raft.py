@@ -152,17 +152,19 @@ class RAFT(nn.Module):
             fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train=train)
         fmap1, fmap2 = jnp.split(fmaps.astype(jnp.float32), 2, axis=0)
 
-        # 'fused' skips pyramid pooling (all levels from the level-0 volume);
-        # measured slower than per-level 'mxu' on v5e (4.6x the MXU FLOPs, see
-        # BENCH.md round 2) so 'auto' keeps the pooled pyramid. On the bf16
-        # compute path the pyramid is stored in bf16: the mxu lookup feeds the
-        # MXU in bf16 anyway, and halving volume HBM traffic is worth 35% of
-        # the per-iteration lookup cost (0.76 -> 0.49 ms measured).
+        # 'fused' (the 'auto' default) skips pyramid pooling: all levels are
+        # looked up straight from the level-0 volume via pool-composed
+        # block-tent weights. Despite 4.6x the MXU FLOPs of per-level 'mxu'
+        # it measures FASTER end-to-end on v5e (23.6 vs 22.1 fps, BENCH.md
+        # round 2): its (B,Q,36,W2) intermediates keep full lanes where the
+        # per-level form makes XLA pad (B,Q,H2,9) tiles, and the pooling
+        # pass disappears. On the bf16 compute path the volume is stored
+        # bf16 (the lookups feed the MXU in bf16 anyway).
         corr0 = all_pairs_corr(fmap1, fmap2)
         if self.corr_impl != "xla" and d == jnp.bfloat16:
             corr0 = corr0.astype(jnp.bfloat16)
-        pyramid = corr_pyramid(corr0, corr_levels, corr_radius,
-                               fused=self.corr_impl == "fused")
+        fused = self.corr_impl in ("fused", "auto") and corr_levels > 1
+        pyramid = corr_pyramid(corr0, corr_levels, corr_radius, fused=fused)
 
         # ---- context network
         cnet_norm = "none" if self.small else "batch"

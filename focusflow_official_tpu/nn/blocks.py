@@ -150,6 +150,19 @@ class StemConv(nn.Module):
         return y + bias.astype(d)
 
 
+def _stem(dtype):
+    """Factory for the 7x7/stride-2 stem: plain conv by default, the
+    space-to-depth `StemConv` under FF_S2D_STEM=1 (A/B knob; parameter
+    tree identical either way, see StemConv's docstring for measurements)."""
+    import os
+
+    if os.environ.get("FF_S2D_STEM") == "1":
+        return lambda feats, in_feats, name: StemConv(
+            feats, in_feats, name=name, dtype=dtype)
+    return lambda feats, in_feats, name: conv2d(
+        feats, 7, 2, 3, name=name, dtype=dtype, in_features=in_feats)
+
+
 class ResidualBlock(nn.Module):
     in_planes: int
     planes: int

@@ -16,7 +16,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .blocks import ResidualBlock, conv2d
+from .blocks import ResidualBlock, conv2d, _stem
 from .fusion_units import FusionUnit
 from .norm import Norm
 
@@ -37,10 +37,11 @@ class BasicParallelFusionLayer(nn.Module):
         ura = (not train) or self.freeze_bn
         ft = self.fusion_type
 
-        mask = conv2d(64, 7, 2, 3, name="mask_conv1", dtype=d, in_features=self.mask_channel)(mask)
+        stem = _stem(d)
+        mask = stem(64, self.mask_channel, "mask_conv1")(mask)
         mask = Norm(self.norm_fn, 64, 8, name="mask_norm1", dtype=d)(mask, ura, fuse_relu=True)
 
-        x = conv2d(64, 7, 2, 3, name="conv1", dtype=d, in_features=self.img_channel)(x)
+        x = stem(64, self.img_channel, "conv1")(x)
         x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True)
 
         mask, x = FusionUnit(64, ft, True, name="fusion1", dtype=d)(mask, x)

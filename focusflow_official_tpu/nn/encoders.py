@@ -11,7 +11,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .blocks import BottleneckBlock, ResidualBlock, conv2d
+from .blocks import BottleneckBlock, ResidualBlock, conv2d, _stem
 from .norm import Norm
 from ..ops.coords import resize_bilinear
 
@@ -28,7 +28,7 @@ class BasicEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dtype
         ura = (not train) or self.freeze_bn  # use_running_average for batch norms
-        x = conv2d(64, 7, 2, 3, name="conv1", dtype=d, in_features=self.in_channel)(x)
+        x = _stem(d)(64, self.in_channel, "conv1")(x)
         x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True)
 
         dims = [(64, 64, 1), (64, 96, 2), (96, 128, 2)]
@@ -55,7 +55,7 @@ class SmallEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dtype
         ura = (not train) or self.freeze_bn
-        x = conv2d(32, 7, 2, 3, name="conv1", dtype=d, in_features=self.in_channels)(x)
+        x = _stem(d)(32, self.in_channels, "conv1")(x)
         x = Norm(self.norm_fn, 32, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True)
 
         dims = [(32, 32, 1), (32, 64, 2), (64, 96, 2)]

@@ -151,14 +151,13 @@ def _lookup_level_mxu(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int,
     sy = _tent_weights(cy[..., None] + d, h2).astype(dtype)  # (B, Q, K, H2)
     c = corr_l.astype(dtype)
 
-    # y-contraction first: the (B, Q, K, W2) intermediate keeps W2 (a
-    # 128-multiple at level 0) on the minor dim, where the x-first order's
-    # (B, Q, H2, K) intermediate made XLA pad H2-on-lanes tiles (profiled
-    # round 2: ~0.25 ms/iteration of padded-intermediate traffic).
-    # T[b,q,j,x] = sum_y sy[b,q,j,y] * corr[b,q,y,x]
-    t = jnp.einsum("bqjy,bqyx->bqjx", sy, c)
-    # out[b,q,i,j] = sum_x T[b,q,j,x] * sx[b,q,i,x]
-    out = jnp.einsum("bqjx,bqix->bqij", t, sx)
+    # Contraction order measured end-to-end (round 2): x-first = 22.13 fps,
+    # y-first (W2-minor intermediate) = 21.77 fps — XLA's layout choices
+    # here don't track minor-dim reasoning; keep the measured winner.
+    # T[b,q,y,i] = sum_x corr[b,q,y,x] * sx[b,q,i,x]
+    t = jnp.einsum("bqyx,bqix->bqyi", c, sx)
+    # out[b,q,i,j] = sum_y sy[b,q,j,y] * T[b,q,y,i]
+    out = jnp.einsum("bqjy,bqyi->bqij", sy, t)
     return out.reshape(b, h1, w1, k * k).astype(jnp.float32)
 
 
