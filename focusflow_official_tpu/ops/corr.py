@@ -170,6 +170,18 @@ def _pool_sizes(h: int, w: int, num_levels: int):
     return sizes
 
 
+def _block_tent_weights_t(pos: jnp.ndarray, level: int, size0: int,
+                          size_l: int) -> jnp.ndarray:
+    """Transposed `_block_tent_weights`: (..., size0, K), built natively in
+    that order (no transpose op) for the y-contraction operand layout."""
+    y = jnp.arange(size0, dtype=jnp.int32)
+    yb = (y >> level).astype(jnp.float32)
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None, :] - yb[..., :, None]))
+    if size_l << level < size0:
+        tent = tent * (y < (size_l << level))[..., :, None]
+    return tent * (2.0 ** -level)
+
+
 def _block_tent_weights(pos: jnp.ndarray, level: int, size0: int,
                         size_l: int) -> jnp.ndarray:
     """Tent weights at pyramid level `level`, composed with the exact
@@ -218,13 +230,16 @@ def lookup_corr_fused(
     cx = coords[..., 0].reshape(b, q)
     cy = coords[..., 1].reshape(b, q)
 
-    sy_all = jnp.concatenate(
+    # built y-minor-last-but-one: the stage-1 dot contracts y, and feeding
+    # (B, Q, H2, LK) avoids the (B, Q, LK, H2) relayout copy XLA otherwise
+    # inserts before the dot (~0.15 ms/iter profiled)
+    sy_all_t = jnp.concatenate(
         [
-            _block_tent_weights(cy[..., None] / (2.0 ** l) + d, l, h2, hl)
+            _block_tent_weights_t(cy[..., None] / (2.0 ** l) + d, l, h2, hl)
             for l, (hl, _) in enumerate(sizes)
         ],
-        axis=-2,
-    ).astype(dtype)  # (B, Q, L*K, H2)
+        axis=-1,
+    ).astype(dtype)  # (B, Q, H2, L*K)
     sx_all = jnp.concatenate(
         [
             _block_tent_weights(cx[..., None] / (2.0 ** l) + d, l, w2, wl)
@@ -234,7 +249,7 @@ def lookup_corr_fused(
     ).astype(dtype)  # (B, Q, L*K, W2)
 
     c = corr0.astype(dtype)
-    t = jnp.einsum("bqjy,bqyx->bqjx", sy_all, c,
+    t = jnp.einsum("bqyj,bqyx->bqjx", sy_all_t, c,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
     o = jnp.einsum("bqjx,bqix->bqji", t.astype(dtype), sx_all,
