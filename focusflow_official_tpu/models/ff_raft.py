@@ -152,18 +152,22 @@ class RAFT(nn.Module):
             fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train=train)
         fmap1, fmap2 = jnp.split(fmaps.astype(jnp.float32), 2, axis=0)
 
-        # 'fused' (the 'auto' default) skips pyramid pooling: all levels are
-        # looked up straight from the level-0 volume via pool-composed
-        # block-tent weights. Despite 4.6x the MXU FLOPs of per-level 'mxu'
-        # it measures FASTER end-to-end on v5e (23.6 vs 22.1 fps, BENCH.md
-        # round 2): its (B,Q,36,W2) intermediates keep full lanes where the
-        # per-level form makes XLA pad (B,Q,H2,9) tiles, and the pooling
-        # pass disappears. On the bf16 compute path the volume is stored
-        # bf16 (the lookups feed the MXU in bf16 anyway).
+        # 'fused' skips pyramid pooling: all levels are looked up straight
+        # from the level-0 volume via pool-composed block-tent weights.
+        # Despite 4.6x the MXU FLOPs of per-level 'mxu' it measures FASTER
+        # for inference on v5e (23.6 vs 22.1 fps, BENCH.md round 2): its
+        # (B,Q,36,W2) intermediates keep full lanes where the per-level form
+        # makes XLA pad (B,Q,H2,9) tiles, and the pooling pass disappears.
+        # In TRAINING the extra FLOPs hit the backward too and it loses
+        # (480 vs 466 ms/step), so 'auto' resolves by mode.
+        if self.corr_impl == "auto" and corr_levels > 1:
+            impl = "mxu" if train else "fused"
+        else:
+            impl = self.corr_impl
         corr0 = all_pairs_corr(fmap1, fmap2)
-        if self.corr_impl != "xla" and d == jnp.bfloat16:
+        if impl != "xla" and d == jnp.bfloat16:
             corr0 = corr0.astype(jnp.bfloat16)
-        fused = self.corr_impl in ("fused", "auto") and corr_levels > 1
+        fused = impl == "fused" and corr_levels > 1
         pyramid = corr_pyramid(corr0, corr_levels, corr_radius, fused=fused)
 
         # ---- context network
@@ -207,7 +211,7 @@ class RAFT(nn.Module):
             corr_radius=corr_radius,
             hidden_dim=hdim,
             emit_upsampled=not test_mode,
-            corr_impl=self.corr_impl,
+            corr_impl=impl,
             dtype=d,
             name="update_step",
         )
