@@ -252,6 +252,11 @@ def lookup_corr_fused(
     t = jnp.einsum("bqyj,bqyx->bqjx", sy_all_t, c,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
+    # Stage 2 computes the FULL (LK, LK) product even though only the L
+    # diagonal (level-matching) 9x9 blocks are consumed: a level-batched
+    # diagonal-only einsum was measured SLOWER end-to-end (22.0 vs 23.6
+    # fps) — it reintroduces N=9 batched matmuls, which is exactly the
+    # lane-starvation the fused form exists to avoid.
     o = jnp.einsum("bqjx,bqix->bqji", t.astype(dtype), sx_all,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)  # (B, Q, LK_j, LK_i)
