@@ -51,7 +51,7 @@ class RAFTStep(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, consts):
+    def __call__(self, carry, is_last, consts):
         net, coords1, _ = carry
         inp, coords0, levels = consts
         pyramid = CorrPyramid(levels=levels, radius=self.corr_radius)
@@ -68,12 +68,18 @@ class RAFTStep(nn.Module):
                 self.corr_levels, self.corr_radius, self.hidden_dim,
                 name="update_block", dtype=self.dtype,
             )
+            net, up_mask, delta_flow = block(net, inp, corr, flow)
         else:
             block = BasicUpdateBlock(
                 self.corr_levels, self.corr_radius, self.hidden_dim,
                 name="update_block", dtype=self.dtype,
             )
-        net, up_mask, delta_flow = block(net, inp, corr, flow)
+            # test mode consumes only the FINAL iteration's upsample mask:
+            # skip the ~6 GFLOP mask head on the other iterations
+            net, up_mask, delta_flow = block(
+                net, inp, corr, flow,
+                mask_needed=None if self.emit_upsampled else is_last,
+            )
         coords1 = coords1 + delta_flow.astype(jnp.float32)
 
         if up_mask is None:
@@ -201,7 +207,7 @@ class RAFT(nn.Module):
             RAFTStep,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
-            in_axes=nn.broadcast,
+            in_axes=(0, nn.broadcast),
             out_axes=0,
             length=iters,
         )
@@ -216,8 +222,9 @@ class RAFT(nn.Module):
             name="update_step",
         )
         mask_state0 = None if self.small else jnp.zeros((b, h, w, 64 * 9), jnp.float32)
+        is_last = jnp.arange(iters) == iters - 1
         (net, coords1, mask_state), flows = step(
-            (net, coords1, mask_state0), (inp, coords0, pyramid.levels)
+            (net, coords1, mask_state0), is_last, (inp, coords0, pyramid.levels)
         )
 
         if test_mode:

@@ -9,6 +9,7 @@ and inference hot path; XLA fuses the gate nonlinearities into the convs.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .blocks import conv2d
@@ -137,7 +138,11 @@ class BasicUpdateBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow):
+    def __call__(self, net, inp, corr, flow, mask_needed=None):
+        """mask_needed: None -> always compute the upsample mask; a traced
+        bool -> compute it only when true (test mode needs the mask on the
+        FINAL refinement iteration only — the head is ~6 GFLOP/iteration at
+        bench shapes, wasted 11/12 times otherwise)."""
         d = self.dtype
         motion = BasicMotionEncoder(self.corr_levels, self.corr_radius, name="encoder", dtype=d)(flow, corr)
         inp = jnp.concatenate([inp, motion], axis=-1)
@@ -145,6 +150,19 @@ class BasicUpdateBlock(nn.Module):
         delta_flow = FlowHead(self.hidden_dim, 256, name="flow_head", dtype=d)(net)
 
         # 0.25x scale balances gradients into the upsample mask (`update.py:134`).
-        m = nn.relu(conv2d(256, 3, 1, 1, name="mask_0", dtype=d, in_features=128)(net))
-        up_mask = 0.25 * conv2d(64 * 9, 1, 1, 0, name="mask_2", dtype=d, in_features=256)(m)
+        mask0 = conv2d(256, 3, 1, 1, name="mask_0", dtype=d, in_features=128)
+        mask2 = conv2d(64 * 9, 1, 1, 0, name="mask_2", dtype=d, in_features=256)
+
+        def mask_head(h):
+            return 0.25 * mask2(nn.relu(mask0(h)))
+
+        if mask_needed is None:
+            up_mask = mask_head(net)
+        else:
+            # create the params unconditionally (flax can't create variables
+            # inside lax.cond branches); the tiny call is dead code at runtime
+            _ = mask_head(net[:, :1, :1, :])
+            up_mask = jax.lax.cond(
+                mask_needed, mask_head, lambda h: jnp.zeros(
+                    net.shape[:3] + (64 * 9,), d), net)
         return net, up_mask, delta_flow
