@@ -66,9 +66,10 @@ class Norm(nn.Module):
         if kind == "group":
             b, h, w, _ = x.shape
             g = self.num_groups
-            xg = xf.reshape(b, h, w, g, c // g)
-            mean = xg.mean(axis=(1, 2, 4), keepdims=True)
-            var = (xg * xg).mean(axis=(1, 2, 4), keepdims=True) - mean * mean
+            xg = x.reshape(b, h, w, g, c // g)
+            mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True, dtype=jnp.float32)
+            var = jnp.mean(xg * xg, axis=(1, 2, 4), keepdims=True,
+                           dtype=jnp.float32) - mean * mean
             inv = jax.lax.rsqrt(var + self.epsilon)
             scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -80,8 +81,12 @@ class Norm(nn.Module):
                 from ..kernels.instance_norm import instance_norm_pallas
 
                 return instance_norm_pallas(x, self.epsilon, fuse_relu).astype(d)
-            mean = xf.mean(axis=(1, 2), keepdims=True)
-            var = (xf * xf).mean(axis=(1, 2), keepdims=True) - mean * mean
+            # f32 ACCUMULATION via the reduction dtype (not an explicit
+            # upcast): profiled round 2, `x.astype(f32)` made XLA materialize
+            # full f32 copies of the activation inside the conv fusions
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+            var = jnp.mean(x * x, axis=(1, 2), keepdims=True,
+                           dtype=jnp.float32) - mean * mean
             inv = jax.lax.rsqrt(var + self.epsilon)
             out = (x - mean.astype(d)) * inv.astype(d)
 
