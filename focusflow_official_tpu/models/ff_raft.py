@@ -173,6 +173,11 @@ class RAFT(nn.Module):
         corr0 = all_pairs_corr(fmap1, fmap2)
         if impl != "xla" and d == jnp.bfloat16:
             corr0 = corr0.astype(jnp.bfloat16)
+        # optional spatial sharding of the O((HW)^2) volume over the mesh's
+        # `model` axis (train/mesh.py::spatial_sharding; SURVEY.md §5.7)
+        from ..train.mesh import shard_queries
+
+        corr0 = shard_queries(corr0, axis=1)
         fused = impl == "fused" and corr_levels > 1
         pyramid = corr_pyramid(corr0, corr_levels, corr_radius, fused=fused)
 

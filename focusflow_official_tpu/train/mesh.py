@@ -41,3 +41,47 @@ def put_batch(batch, mesh: Mesh):
     """Device-put a pytree of host arrays with batch-axis sharding."""
     sharding = shard_batch(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+# ---- spatial (sequence-parallel analog) sharding of the corr volume --------
+#
+# SURVEY.md §5.7: FocusFlow's "long context" axis is H*W — the all-pairs
+# correlation volume is O((HW)^2) and dominates memory at large frames.
+# `spatial_sharding(mesh)` activates query-axis sharding over the `model`
+# mesh axis: the per-query lookup contractions then run fully sharded, and
+# GSPMD inserts the halo exchanges where the sharded queries fold back into
+# spatial feature maps. The reference has no equivalent (single-GPU memory
+# wall); this is the TPU-native scale-out path for very large frames.
+
+_SPATIAL_MESH: Optional[Mesh] = None
+
+
+class spatial_sharding:
+    """Context manager: shard per-query tensors over the `model` axis."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _SPATIAL_MESH
+        self._prev = _SPATIAL_MESH
+        _SPATIAL_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _SPATIAL_MESH
+        _SPATIAL_MESH = self._prev
+        return False
+
+
+def shard_queries(x, axis: int = 1):
+    """Constrain `x` to be sharded over `model` along `axis` (the flattened
+    H*W query dimension). No-op unless inside `spatial_sharding` with a
+    model axis larger than 1, so single-mesh code paths are unaffected."""
+    mesh = _SPATIAL_MESH
+    if mesh is None or mesh.shape.get("model", 1) <= 1:
+        return x
+    spec = [None] * x.ndim
+    spec[axis] = "model"
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
