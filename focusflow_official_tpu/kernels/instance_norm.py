@@ -111,6 +111,62 @@ def _forward(x: jnp.ndarray, eps: float, relu: bool,
     return out.reshape(b, h, w, c)
 
 
+def _stats_only(x: jnp.ndarray, interpret: bool = False):
+    """(mean, inv) per (B, C) via the Pallas stats kernel, f32."""
+    b, h, w, c = x.shape
+    hw = h * w
+    xr = x.reshape(b, hw, c)
+    target_rows = max(512, (1 << 20) // max(1, c * x.dtype.itemsize))
+    chunk = min(hw, max(8, (target_rows // 8) * 8))
+    n_chunks = -(-hw // chunk)
+    stats = pl.pallas_call(
+        functools.partial(_stats_kernel, chunk=chunk, hw=hw, n_chunks=n_chunks),
+        grid=(b, n_chunks),
+        in_specs=[pl.BlockSpec((1, chunk, c), lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        interpret=interpret,
+    )(xr)
+    return stats[:, 0, :] / hw, stats[:, 1, :] / hw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def instance_norm_stats(x: jnp.ndarray, eps: float = 1e-5):
+    """Per-(sample, channel) (mean, rsqrt(var+eps)) as (B, 1, 1, C) f32.
+
+    Pallas computes only the two reductions; the (cheap, elementwise)
+    normalize stays in XLA so the activation tensor never crosses a
+    custom-call boundary — the conv chain keeps XLA-chosen layouts, which
+    is where the full Pallas IN lost its win (BENCH.md Finding 2).
+    """
+    if not pallas_instance_norm_supported():
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=(1, 2))
+        ex2 = (xf * xf).mean(axis=(1, 2))
+    else:
+        mean, ex2 = _stats_only(x)
+    inv = jax.lax.rsqrt(ex2 - mean * mean + eps)
+    return mean[:, None, None, :], inv[:, None, None, :]
+
+
+def _stats_fwd(x, eps):
+    mean, inv = instance_norm_stats(x, eps)
+    return (mean, inv), (x, mean, inv)
+
+
+def _stats_bwd(eps, res, cts):
+    x, mean, inv = res
+    gmean, ginv = cts
+    n = x.shape[1] * x.shape[2]
+    xf = x.astype(jnp.float32)
+    # d inv / d var = -0.5 inv^3 ; d var / dx = 2 (x - mean) / N
+    dx = (gmean / n) + ginv * (-(inv ** 3)) * (xf - mean) / n
+    return (dx.astype(x.dtype),)
+
+
+instance_norm_stats.defvjp(_stats_fwd, _stats_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def instance_norm_pallas(x: jnp.ndarray, eps: float = 1e-5,
                          relu: bool = False) -> jnp.ndarray:

@@ -30,6 +30,12 @@ import jax.numpy as jnp
 # (21.6 vs 22.1 fps). Default stays on the XLA formulation until the
 # layout boundary is solved; the kernel + tests remain for that round.
 _USE_PALLAS_INSTANCE_NORM = os.environ.get("FF_PALLAS_INSTANCE_NORM", "0") == "1"
+# Stats-only variant (DEFAULT on TPU): Pallas computes just the (B, C)
+# reductions; XLA keeps the layout-sensitive normalize, so the activation
+# tensor never crosses a custom-call boundary and the conv chain keeps
+# XLA-chosen layouts. Measured 23.8 -> 25.1 fps on the flagship bench
+# (BENCH.md round 2). FF_PALLAS_IN_STATS=0 opts out.
+_USE_PALLAS_IN_STATS = os.environ.get("FF_PALLAS_IN_STATS", "1") == "1"
 
 
 def _pallas_in_ok() -> bool:
@@ -81,6 +87,13 @@ class Norm(nn.Module):
                 from ..kernels.instance_norm import instance_norm_pallas
 
                 return instance_norm_pallas(x, self.epsilon, fuse_relu).astype(d)
+            if _USE_PALLAS_IN_STATS and _pallas_in_ok():
+                from ..kernels.instance_norm import instance_norm_stats
+
+                mean, inv = instance_norm_stats(x, self.epsilon)
+                out = (x - mean.astype(d)) * inv.astype(d)
+                out = out.astype(self.dtype)
+                return nn.relu(out) if fuse_relu else out
             # f32 ACCUMULATION via the reduction dtype (not an explicit
             # upcast): profiled round 2, `x.astype(f32)` made XLA materialize
             # full f32 copies of the activation inside the conv fusions

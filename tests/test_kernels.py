@@ -48,6 +48,28 @@ class TestInstanceNormKernel:
         np.testing.assert_allclose(g1, g2, atol=1e-4, rtol=1e-4)
 
 
+class TestInstanceNormStats:
+    def test_values_and_grads_match_xla(self):
+        from focusflow_official_tpu.kernels.instance_norm import (
+            instance_norm_stats,
+        )
+
+        x = jnp.asarray(RNG.randn(2, 12, 14, 64).astype(np.float32) * 2 + 1)
+
+        def norm_stats(x):
+            mean, inv = instance_norm_stats(x, 1e-5)
+            return jnp.sum(jnp.sin((x - mean) * inv))
+
+        def norm_xla(x):
+            return jnp.sum(jnp.sin(_xla_instance_norm(x, 1e-5, False)))
+
+        np.testing.assert_allclose(float(norm_stats(x)), float(norm_xla(x)),
+                                   rtol=1e-5)
+        g1 = np.asarray(jax.grad(norm_stats)(x))
+        g2 = np.asarray(jax.grad(norm_xla)(x))
+        np.testing.assert_allclose(g1, g2, atol=1e-4, rtol=1e-4)
+
+
 class TestLocalCorrKernel:
     """Pallas PWC local correlation vs the XLA shift formulation."""
 
