@@ -35,23 +35,24 @@ class BasicParallelFusionLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dtype
         ura = (not train) or self.freeze_bn
+        ev = not train
         ft = self.fusion_type
 
         stem = _stem(d)
         mask = stem(64, self.mask_channel, "mask_conv1")(mask)
-        mask = Norm(self.norm_fn, 64, 8, name="mask_norm1", dtype=d)(mask, ura, fuse_relu=True)
+        mask = Norm(self.norm_fn, 64, 8, name="mask_norm1", dtype=d)(mask, ura, fuse_relu=True, is_eval=ev)
 
         x = stem(64, self.img_channel, "conv1")(x)
-        x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True)
+        x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True, is_eval=ev)
 
         mask, x = FusionUnit(64, ft, True, name="fusion1", dtype=d)(mask, x)
 
         dims = [(64, 64, 1), (64, 96, 2), (96, 128, 2)]
         for li, (cin, cout, stride) in enumerate(dims, start=1):
-            mask = ResidualBlock(cin, cout, self.norm_fn, stride, name=f"mask_layer{li}_0", dtype=d)(mask, ura)
-            mask = ResidualBlock(cout, cout, self.norm_fn, 1, name=f"mask_layer{li}_1", dtype=d)(mask, ura)
-            x = ResidualBlock(cin, cout, self.norm_fn, stride, name=f"layer{li}_0", dtype=d)(x, ura)
-            x = ResidualBlock(cout, cout, self.norm_fn, 1, name=f"layer{li}_1", dtype=d)(x, ura)
+            mask = ResidualBlock(cin, cout, self.norm_fn, stride, name=f"mask_layer{li}_0", dtype=d)(mask, ura, is_eval=ev)
+            mask = ResidualBlock(cout, cout, self.norm_fn, 1, name=f"mask_layer{li}_1", dtype=d)(mask, ura, is_eval=ev)
+            x = ResidualBlock(cin, cout, self.norm_fn, stride, name=f"layer{li}_0", dtype=d)(x, ura, is_eval=ev)
+            x = ResidualBlock(cout, cout, self.norm_fn, 1, name=f"layer{li}_1", dtype=d)(x, ura, is_eval=ev)
             mask, x = FusionUnit(cout, ft, True, name=f"fusion{li + 1}", dtype=d)(mask, x)
 
         mask = conv2d(self.output_dim, 1, 1, 0, name="mask_conv2", dtype=d, in_features=128)(mask)

@@ -28,13 +28,14 @@ class BasicEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dtype
         ura = (not train) or self.freeze_bn  # use_running_average for batch norms
+        ev = not train  # the actual eval flag (gates Pallas IN lowering; ADVICE r2)
         x = _stem(d)(64, self.in_channel, "conv1")(x)
-        x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True)
+        x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True, is_eval=ev)
 
         dims = [(64, 64, 1), (64, 96, 2), (96, 128, 2)]
         for li, (cin, cout, stride) in enumerate(dims, start=1):
-            x = ResidualBlock(cin, cout, self.norm_fn, stride, name=f"layer{li}_0", dtype=d)(x, ura)
-            x = ResidualBlock(cout, cout, self.norm_fn, 1, name=f"layer{li}_1", dtype=d)(x, ura)
+            x = ResidualBlock(cin, cout, self.norm_fn, stride, name=f"layer{li}_0", dtype=d)(x, ura, is_eval=ev)
+            x = ResidualBlock(cout, cout, self.norm_fn, 1, name=f"layer{li}_1", dtype=d)(x, ura, is_eval=ev)
 
         x = conv2d(self.output_dim, 1, 1, 0, name="conv2", dtype=d, in_features=128)(x)
 
@@ -55,13 +56,14 @@ class SmallEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dtype
         ura = (not train) or self.freeze_bn
+        ev = not train
         x = _stem(d)(32, self.in_channels, "conv1")(x)
-        x = Norm(self.norm_fn, 32, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True)
+        x = Norm(self.norm_fn, 32, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True, is_eval=ev)
 
         dims = [(32, 32, 1), (32, 64, 2), (64, 96, 2)]
         for li, (cin, cout, stride) in enumerate(dims, start=1):
-            x = BottleneckBlock(cin, cout, self.norm_fn, stride, name=f"layer{li}_0", dtype=d)(x, ura)
-            x = BottleneckBlock(cout, cout, self.norm_fn, 1, name=f"layer{li}_1", dtype=d)(x, ura)
+            x = BottleneckBlock(cin, cout, self.norm_fn, stride, name=f"layer{li}_0", dtype=d)(x, ura, is_eval=ev)
+            x = BottleneckBlock(cout, cout, self.norm_fn, 1, name=f"layer{li}_1", dtype=d)(x, ura, is_eval=ev)
 
         x = conv2d(self.output_dim, 1, 1, 0, name="conv2", dtype=d, in_features=96)(x)
 

@@ -55,11 +55,22 @@ class Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool = True,
-                 fuse_relu: bool = False) -> jnp.ndarray:
+                 fuse_relu: bool = False, is_eval: bool | None = None) -> jnp.ndarray:
         """fuse_relu: apply the block's trailing ReLU inside the norm — the
         Pallas instance-norm kernel folds it into its normalize pass; for
-        the other kinds XLA fuses the elementwise chain anyway."""
+        the other kinds XLA fuses the elementwise chain anyway.
+
+        is_eval: the actual train/eval distinction, which gates the Pallas
+        instance-norm lowering (the stats kernel is a measured win at eval
+        and a measured loss in the train graph — BENCH.md round 2). This is
+        deliberately separate from use_running_average: encoders pass
+        ura=(not train) or freeze_bn, and freeze_bn is true for every
+        post-chairs TRAINING stage, so ura alone cannot distinguish
+        training from eval. Defaults to use_running_average for callers
+        where the two coincide (no freeze_bn in play)."""
         kind = self.kind
+        if is_eval is None:
+            is_eval = use_running_average
         if kind == "none":
             return nn.relu(x) if fuse_relu else x
         c = self.features
@@ -76,6 +87,10 @@ class Norm(nn.Module):
             mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True, dtype=jnp.float32)
             var = jnp.mean(xg * xg, axis=(1, 2, 4), keepdims=True,
                            dtype=jnp.float32) - mean * mean
+            # E[x^2]-mean^2 with the square taken in the model dtype can go
+            # (slightly) negative for offset-dominated channels; clamp so
+            # rsqrt never sees var+eps < 0 (free: fuses into the reduction).
+            var = jnp.maximum(var, 0.0)
             inv = jax.lax.rsqrt(var + self.epsilon)
             scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -89,7 +104,7 @@ class Norm(nn.Module):
                 return instance_norm_pallas(x, self.epsilon, fuse_relu).astype(d)
             # eval only: training measured neutral-to-slightly-worse with the
             # custom call in the backward graph (474 vs 466 ms/step)
-            if _USE_PALLAS_IN_STATS and use_running_average and _pallas_in_ok():
+            if _USE_PALLAS_IN_STATS and is_eval and _pallas_in_ok():
                 from ..kernels.instance_norm import instance_norm_stats
 
                 mean, inv = instance_norm_stats(x, self.epsilon)
@@ -102,6 +117,7 @@ class Norm(nn.Module):
             mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
             var = jnp.mean(x * x, axis=(1, 2), keepdims=True,
                            dtype=jnp.float32) - mean * mean
+            var = jnp.maximum(var, 0.0)  # see group-norm comment
             inv = jax.lax.rsqrt(var + self.epsilon)
             out = (x - mean.astype(d)) * inv.astype(d)
 

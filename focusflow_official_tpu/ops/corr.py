@@ -295,6 +295,10 @@ def lookup_corr_pyramid(
         assert len(pyramid.levels) == 1, "fused lookup wants the unpooled volume"
         return lookup_corr_fused(pyramid.levels[0], coords, pyramid.radius,
                                  num_levels=num_levels)
+    assert len(pyramid.levels) == num_levels, (
+        f"pyramid has {len(pyramid.levels)} levels, expected num_levels="
+        f"{num_levels} (build with matching num_levels, or fused=True for "
+        "the 'fused' impl)")
     if impl == "pallas":
         return lookup_corr_pyramid_pallas(pyramid.levels, coords, pyramid.radius)
     outs = []

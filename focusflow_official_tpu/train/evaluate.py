@@ -45,11 +45,20 @@ def make_eval_forward(model, variables, iters: int):
     return forward
 
 
-def _make_metrics_fn(model, variables, iters: int, pad_mode: Optional[str]):
+def _make_metrics_fn(model, variables, iters: int, pad_mode: Optional[str],
+                     sparse: bool = False):
     """jit'd per-sample metrics, all reductions on device.
 
     Returns (epe_sum, px_count, mask_epe_mean_or_nan, kitti_epe_mean,
     outlier_sum, valid_count) as device scalars.
+
+    sparse: KITTI-style sparse GT. Only then is the `valid` map intersected
+    into the metrics — the reference protocol uses `valid_gt` solely for
+    KITTI (`evaluate.py:117-125`); chairs/Sintel pool ALL pixels and the
+    keypoint selector is the raw `mask1 > 0.5` (`evaluate.py:36,73`). Our
+    dense datasets synthesize valid = |flow|<1000 for the trainer; ignoring
+    it here keeps the metric reference-comparable even if a dense GT pixel
+    ever exceeded 1000 (ADVICE r2).
     """
 
     @jax.jit
@@ -64,7 +73,7 @@ def _make_metrics_fn(model, variables, iters: int, pad_mode: Optional[str]):
                                  (image1, image2, mask1, mask2), iters)
         epe = jnp.sqrt(jnp.sum((flow[0] - flow_gt) ** 2, axis=-1))  # (H, W)
         mag = jnp.sqrt(jnp.sum(flow_gt ** 2, axis=-1))
-        val = valid >= 0.5
+        val = (valid >= 0.5) if sparse else jnp.ones(epe.shape, bool)
 
         sel = (mask1[0, ..., 0] > 0.5) & val
         n_sel = jnp.sum(sel)
@@ -120,7 +129,8 @@ def validate_sintel(model, variables, datasets: Dict[str, object],
 
 def validate_kitti(model, variables, dataset, mask_type: str = "orb",
                    iters: int = 32, progress: Optional[Callable] = None) -> Dict:
-    m = _collect(dataset, _make_metrics_fn(model, variables, iters, "kitti"),
+    m = _collect(dataset, _make_metrics_fn(model, variables, iters, "kitti",
+                                           sparse=True),
                  progress)
     return {
         "kitti-epe": float(np.mean(m[:, 3])),  # mean of per-image means
