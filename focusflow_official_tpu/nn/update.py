@@ -8,11 +8,45 @@ and inference hot path; XLA fuses the gate nonlinearities into the convs.
 
 from __future__ import annotations
 
+from typing import Optional, Tuple
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .blocks import conv2d
+from .blocks import conv2d, kaiming_out, torch_bias_init
+
+
+class PermutedConv1x1(nn.Module):
+    """1x1 conv whose kernel input-rows are statically permuted at apply time.
+
+    Parameter tree ({kernel, bias}, same shapes/inits as `conv2d`) is
+    checkpoint-identical to a plain convc1, but the activations may arrive
+    with permuted channels (the packed fused-lookup order): the reorder is
+    folded into the loop-invariant kernel gather — free, instead of a
+    per-iteration activation copy (BENCH.md round 3).
+    """
+
+    features: int
+    in_features: int
+    perm: Optional[Tuple[int, ...]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin, cout = self.in_features, self.features
+        kernel = self.param("kernel", kaiming_out, (1, 1, cin, cout), jnp.float32)
+        bias = self.param(
+            "bias",
+            lambda key, shape, dtype=jnp.float32: torch_bias_init(key, shape, dtype, cin),
+            (cout,), jnp.float32)
+        w = kernel[0, 0]
+        if self.perm is not None:
+            w = w[jnp.asarray(self.perm)]
+        d = self.dtype
+        y = jnp.einsum("bhwc,co->bhwo", x.astype(d), w.astype(d),
+                       precision=jax.lax.Precision.HIGHEST)
+        return y + bias.astype(d)
 
 
 class FlowHead(nn.Module):
@@ -77,13 +111,19 @@ class SepConvGRU(nn.Module):
 class SmallMotionEncoder(nn.Module):
     corr_levels: int
     corr_radius: int
+    corr_packed: bool = False  # corr channels in the packed fused-chunk order
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
         d = self.dtype
         cor_planes = self.corr_levels * (2 * self.corr_radius + 1) ** 2
-        cor = nn.relu(conv2d(96, 1, 1, 0, name="convc1", dtype=d, in_features=cor_planes)(corr))
+        perm = None
+        if self.corr_packed:
+            from ..ops.corr import packed_to_reference_perm
+            perm = packed_to_reference_perm(self.corr_levels, self.corr_radius)
+        cor = nn.relu(PermutedConv1x1(96, cor_planes, perm,
+                                      name="convc1", dtype=d)(corr))
         flo = nn.relu(conv2d(64, 7, 1, 3, name="convf1", dtype=d, in_features=2)(flow))
         flo = nn.relu(conv2d(32, 3, 1, 1, name="convf2", dtype=d, in_features=64)(flo))
         out = nn.relu(
@@ -97,13 +137,19 @@ class SmallMotionEncoder(nn.Module):
 class BasicMotionEncoder(nn.Module):
     corr_levels: int
     corr_radius: int
+    corr_packed: bool = False  # corr channels in the packed fused-chunk order
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
         d = self.dtype
         cor_planes = self.corr_levels * (2 * self.corr_radius + 1) ** 2
-        cor = nn.relu(conv2d(256, 1, 1, 0, name="convc1", dtype=d, in_features=cor_planes)(corr))
+        perm = None
+        if self.corr_packed:
+            from ..ops.corr import packed_to_reference_perm
+            perm = packed_to_reference_perm(self.corr_levels, self.corr_radius)
+        cor = nn.relu(PermutedConv1x1(256, cor_planes, perm,
+                                      name="convc1", dtype=d)(corr))
         cor = nn.relu(conv2d(192, 3, 1, 1, name="convc2", dtype=d, in_features=256)(cor))
         flo = nn.relu(conv2d(128, 7, 1, 3, name="convf1", dtype=d, in_features=2)(flow))
         flo = nn.relu(conv2d(64, 3, 1, 1, name="convf2", dtype=d, in_features=128)(flo))
@@ -119,12 +165,15 @@ class SmallUpdateBlock(nn.Module):
     corr_levels: int
     corr_radius: int
     hidden_dim: int = 96
+    corr_packed: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, net, inp, corr, flow):
         d = self.dtype
-        motion = SmallMotionEncoder(self.corr_levels, self.corr_radius, name="encoder", dtype=d)(flow, corr)
+        motion = SmallMotionEncoder(self.corr_levels, self.corr_radius,
+                                    corr_packed=self.corr_packed,
+                                    name="encoder", dtype=d)(flow, corr)
         inp = jnp.concatenate([inp, motion], axis=-1)
         net = ConvGRU(self.hidden_dim, 82 + 64, name="gru", dtype=d)(net, inp)
         delta_flow = FlowHead(self.hidden_dim, 128, name="flow_head", dtype=d)(net)
@@ -135,6 +184,7 @@ class BasicUpdateBlock(nn.Module):
     corr_levels: int
     corr_radius: int
     hidden_dim: int = 128
+    corr_packed: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -144,7 +194,9 @@ class BasicUpdateBlock(nn.Module):
         FINAL refinement iteration only — the head is ~6 GFLOP/iteration at
         bench shapes, wasted 11/12 times otherwise)."""
         d = self.dtype
-        motion = BasicMotionEncoder(self.corr_levels, self.corr_radius, name="encoder", dtype=d)(flow, corr)
+        motion = BasicMotionEncoder(self.corr_levels, self.corr_radius,
+                                    corr_packed=self.corr_packed,
+                                    name="encoder", dtype=d)(flow, corr)
         inp = jnp.concatenate([inp, motion], axis=-1)
         net = SepConvGRU(self.hidden_dim, 128 + self.hidden_dim, name="gru", dtype=d)(net, inp)
         delta_flow = FlowHead(self.hidden_dim, 256, name="flow_head", dtype=d)(net)

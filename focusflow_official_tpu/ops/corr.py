@@ -268,6 +268,88 @@ def lookup_corr_fused(
     return jnp.concatenate(outs, axis=-1)
 
 
+def packed_to_reference_perm(num_levels: int, radius: int):
+    """Static channel permutation between the packed chunk order and the
+    reference order.
+
+    `lookup_corr_fused_chunks` emits level-l channels as j*K + i (j = y
+    offset fast... i.e. i varies fastest); the reference emits i*K + j
+    (x-offset slow — `corr.py:39-43`). Swapping i and j twice is the
+    identity, so this permutation is an involution: it maps packed->ref AND
+    ref->packed. Used to fold the reorder into the motion encoder's 1x1
+    conv kernel instead of permuting activations every iteration.
+    """
+    k = 2 * radius + 1
+    perm = []
+    for l in range(num_levels):
+        for i in range(k):
+            for j in range(k):
+                perm.append(l * k * k + j * k + i)
+    return tuple(perm)
+
+
+def lookup_corr_fused_chunks(
+    corr0: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int,
+    num_levels: int = 4,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, ...]:
+    """Pyramid-free fused lookup, restructured for zero extraction cost.
+
+    Mathematically identical to `lookup_corr_fused` (pool-composed block
+    tents on the level-0 volume) but:
+
+    - stage 1 contracts x FIRST: K = W2 = full 128 MXU lanes at bench
+      shapes, and the (B, Q, H2, LK) intermediate is H2/W2 ~ 2.3x smaller
+      than the y-first form's (B, Q, LK, W2);
+    - stage 2 runs one small dot PER LEVEL, producing exactly the L
+      diagonal (K, K) blocks as CONTIGUOUS (B, Q, K, K) outputs — the
+      y-first form computed the full (LK, LK) cross-level product and paid
+      ~0.5 ms/iteration of slice/transpose/copy extracting the diagonal
+      (round-3 profile: 2.2 ms of (36,36) writes + 3.5 ms of
+      slice/copy/relayout per 12-iteration forward).
+
+    Returns L chunks of (B, H1, W1, K*K), channels packed as j*K + i
+    (y-offset slow). Consumers that need the reference channel order fold
+    `packed_to_reference_perm` into their first 1x1 conv's kernel (a free,
+    loop-invariant gather) rather than permuting activations.
+    """
+    b, q, h2, w2 = corr0.shape
+    _, h1, w1, _ = coords.shape
+    k = 2 * radius + 1
+    sizes = _pool_sizes(h2, w2, num_levels)
+
+    d = jnp.linspace(-radius, radius, k, dtype=jnp.float32)
+    cx = coords[..., 0].reshape(b, q)
+    cy = coords[..., 1].reshape(b, q)
+
+    sx_all = jnp.concatenate(
+        [
+            _block_tent_weights(cx[..., None] / (2.0 ** l) + d, l, w2, wl)
+            for l, (_, wl) in enumerate(sizes)
+        ],
+        axis=-2,
+    ).astype(dtype)  # (B, Q, L*K, W2)
+
+    c = corr0.astype(dtype)
+    # t[b,q,y,i] = sum_x corr[b,q,y,x] * sx[b,q,i,x]
+    t = jnp.einsum("bqyx,bqix->bqyi", c, sx_all,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(dtype)
+
+    chunks = []
+    for l, (hl, _) in enumerate(sizes):
+        sy_l = _block_tent_weights_t(
+            cy[..., None] / (2.0 ** l) + d, l, h2, hl).astype(dtype)
+        # o[b,q,j,i] = sum_y sy[b,q,y,j] * t[b,q,y,i] on this level's slice
+        o = jnp.einsum("bqyj,bqyi->bqji", sy_l, t[:, :, :, l * k:(l + 1) * k],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        chunks.append(o.reshape(b, h1, w1, k * k))
+    return tuple(chunks)
+
+
 def lookup_corr_pyramid(
     pyramid: CorrPyramid, coords: jnp.ndarray, impl: str = "auto",
     num_levels: int = 4,

@@ -86,6 +86,44 @@ class TestFusedLookup:
             all_pairs_corr(f1, f2), coords, 4, 4, dtype=jnp.float32))
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
 
+    def test_chunks_match_fused_and_xla(self):
+        """Chunked stage-2 (per-level diagonal dots, packed channel order)
+        equals the monolithic fused form and the gather reference after the
+        static packed->reference permutation — incl. out-of-range coords."""
+        from focusflow_official_tpu.ops.corr import (
+            lookup_corr_fused, lookup_corr_fused_chunks,
+            packed_to_reference_perm,
+        )
+
+        f1, f2, coords = _toy_problem()
+        corr0 = all_pairs_corr(f1, f2)
+        want_fused = np.asarray(lookup_corr_fused(
+            corr0, coords, 4, 4, dtype=jnp.float32))
+        chunks = lookup_corr_fused_chunks(corr0, coords, 4, 4, dtype=jnp.float32)
+        assert len(chunks) == 4 and all(c.shape[-1] == 81 for c in chunks)
+        perm = np.asarray(packed_to_reference_perm(4, 4))
+        # involution: the same permutation maps both directions
+        assert np.array_equal(perm[perm], np.arange(perm.size))
+        got = np.asarray(jnp.concatenate(chunks, axis=-1))[..., perm]
+        np.testing.assert_allclose(got, want_fused, atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(got, _xla_reference(f1, f2, coords),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_weight_fold_identity(self):
+        """conv1x1(reference_order, W) == conv1x1(packed_order, W[perm]) —
+        the identity the motion encoder's PermutedConv1x1 relies on."""
+        from focusflow_official_tpu.ops.corr import packed_to_reference_perm
+
+        rng = np.random.RandomState(11)
+        perm = np.asarray(packed_to_reference_perm(4, 4))
+        ref = rng.randn(2, 3, 4, 324).astype(np.float32)
+        packed = ref[..., perm]  # involution: packed order from ref order
+        w = rng.randn(324, 16).astype(np.float32)
+        np.testing.assert_allclose(
+            np.einsum("bhwc,co->bhwo", ref, w),
+            np.einsum("bhwc,co->bhwo", packed, w[perm]),
+            atol=1e-4, rtol=1e-5)
+
     def test_auto_routes_fused_pyramid(self):
         f1, f2, coords = _toy_problem(h=16, w=16)
         want = _xla_reference(f1, f2, coords)
