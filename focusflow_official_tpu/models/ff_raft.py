@@ -62,34 +62,28 @@ class RAFTStep(nn.Module):
         # Reference detaches coords each iteration (`raft.py:216`).
         coords1 = jax.lax.stop_gradient(coords1)
         if self.corr_impl == "fused" and self.corr_levels > 1:
-            # chunked fused lookup: contiguous per-level blocks in packed
-            # channel order; the motion encoder folds the reference-order
-            # permutation into its (loop-invariant) convc1 kernel, so no
-            # per-iteration extraction/transpose ops exist at all
-            corr = jnp.concatenate(
-                lookup_corr_fused_chunks(
-                    pyramid.levels[0], coords1, self.corr_radius,
-                    num_levels=self.corr_levels, dtype=self.dtype),
-                axis=-1).astype(self.dtype)
-            corr_packed = True
+            # chunked fused lookup: per-level (B, Q, K, K) query-space blocks;
+            # the motion encoder folds the reference channel order AND the
+            # NHWC repack into its (loop-invariant) convc1 kernel, so no
+            # per-iteration extraction/transpose/relayout ops exist at all
+            corr = lookup_corr_fused_chunks(
+                pyramid.levels[0], coords1, self.corr_radius,
+                num_levels=self.corr_levels, dtype=self.dtype)
         else:
             corr = lookup_corr_pyramid(
                 pyramid, coords1, impl=self.corr_impl, num_levels=self.corr_levels
             ).astype(self.dtype)
-            corr_packed = False
         flow = (coords1 - coords0).astype(self.dtype)
 
         if self.small:
             block = SmallUpdateBlock(
                 self.corr_levels, self.corr_radius, self.hidden_dim,
-                corr_packed=corr_packed,
                 name="update_block", dtype=self.dtype,
             )
             net, up_mask, delta_flow = block(net, inp, corr, flow)
         else:
             block = BasicUpdateBlock(
                 self.corr_levels, self.corr_radius, self.hidden_dim,
-                corr_packed=corr_packed,
                 name="update_block", dtype=self.dtype,
             )
             # test mode consumes only the FINAL iteration's upsample mask:

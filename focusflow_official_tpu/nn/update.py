@@ -17,36 +17,42 @@ import jax.numpy as jnp
 from .blocks import conv2d, kaiming_out, torch_bias_init
 
 
-class PermutedConv1x1(nn.Module):
-    """1x1 conv whose kernel input-rows are statically permuted at apply time.
+class ChunkFoldedConv1x1(nn.Module):
+    """convc1 applied directly to the fused lookup's per-level (B, Q, K, K)
+    query-space chunks (`ops.corr.lookup_corr_fused_chunks`).
 
-    Parameter tree ({kernel, bias}, same shapes/inits as `conv2d`) is
-    checkpoint-identical to a plain convc1, but the activations may arrive
-    with permuted channels (the packed fused-lookup order): the reorder is
-    folded into the loop-invariant kernel gather — free, instead of a
-    per-iteration activation copy (BENCH.md round 3).
+    Parameter tree ({kernel, bias}, same shapes/inits/order as a plain
+    `conv2d` convc1 over reference-ordered NHWC corr) is checkpoint-identical;
+    the packed->reference channel reorder AND the (B,Q,9,9)->(B,H,W,81)
+    reshape are folded into loop-invariant *kernel* reshapes: each level
+    contracts its (j, i) window against the matching kernel block
+    W[l*K2 + i*K + j, :] — zero per-iteration activation relayout
+    (round-3 profile: the NHWC repack cost ~0.5 ms/iteration).
     """
 
     features: int
-    in_features: int
-    perm: Optional[Tuple[int, ...]] = None
+    corr_levels: int
+    corr_radius: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin, cout = self.in_features, self.features
+    def __call__(self, chunks: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+        k = 2 * self.corr_radius + 1
+        cin, cout = self.corr_levels * k * k, self.features
         kernel = self.param("kernel", kaiming_out, (1, 1, cin, cout), jnp.float32)
         bias = self.param(
             "bias",
             lambda key, shape, dtype=jnp.float32: torch_bias_init(key, shape, dtype, cin),
             (cout,), jnp.float32)
-        w = kernel[0, 0]
-        if self.perm is not None:
-            w = w[jnp.asarray(self.perm)]
+        w = kernel[0, 0]  # (cin, cout), rows ordered l, then i slow, j fast
         d = self.dtype
-        y = jnp.einsum("bhwc,co->bhwo", x.astype(d), w.astype(d),
-                       precision=jax.lax.Precision.HIGHEST)
-        return y + bias.astype(d)
+        acc = None
+        for l, ch in enumerate(chunks):
+            wl = w[l * k * k:(l + 1) * k * k].reshape(k, k, cout)  # [i, j, o]
+            y = jnp.einsum("bqji,ijo->bqo", ch.astype(d), wl.astype(d),
+                           precision=jax.lax.Precision.HIGHEST)
+            acc = y if acc is None else acc + y
+        return acc + bias.astype(d)
 
 
 class FlowHead(nn.Module):
@@ -108,22 +114,31 @@ class SepConvGRU(nn.Module):
         return h
 
 
+def _convc1(features, corr_levels, corr_radius, dtype, flow, corr):
+    """First motion-encoder conv: plain NHWC 1x1 for array corr, or the
+    kernel-folded query-space form when corr arrives as fused-lookup chunks
+    (tuple of (B, Q, K, K)); the (B, Q, F) result reshapes to NHWC for free
+    (F is the minor dim both ways)."""
+    cor_planes = corr_levels * (2 * corr_radius + 1) ** 2
+    if isinstance(corr, tuple):
+        b, h, w = flow.shape[:3]
+        cor = ChunkFoldedConv1x1(features, corr_levels, corr_radius,
+                                 name="convc1", dtype=dtype)(corr)
+        return cor.reshape(b, h, w, features)
+    return conv2d(features, 1, 1, 0, name="convc1", dtype=dtype,
+                  in_features=cor_planes)(corr)
+
+
 class SmallMotionEncoder(nn.Module):
     corr_levels: int
     corr_radius: int
-    corr_packed: bool = False  # corr channels in the packed fused-chunk order
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, flow: jnp.ndarray, corr) -> jnp.ndarray:
         d = self.dtype
-        cor_planes = self.corr_levels * (2 * self.corr_radius + 1) ** 2
-        perm = None
-        if self.corr_packed:
-            from ..ops.corr import packed_to_reference_perm
-            perm = packed_to_reference_perm(self.corr_levels, self.corr_radius)
-        cor = nn.relu(PermutedConv1x1(96, cor_planes, perm,
-                                      name="convc1", dtype=d)(corr))
+        cor = nn.relu(_convc1(96, self.corr_levels, self.corr_radius, d,
+                              flow, corr))
         flo = nn.relu(conv2d(64, 7, 1, 3, name="convf1", dtype=d, in_features=2)(flow))
         flo = nn.relu(conv2d(32, 3, 1, 1, name="convf2", dtype=d, in_features=64)(flo))
         out = nn.relu(
@@ -137,19 +152,13 @@ class SmallMotionEncoder(nn.Module):
 class BasicMotionEncoder(nn.Module):
     corr_levels: int
     corr_radius: int
-    corr_packed: bool = False  # corr channels in the packed fused-chunk order
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, flow: jnp.ndarray, corr) -> jnp.ndarray:
         d = self.dtype
-        cor_planes = self.corr_levels * (2 * self.corr_radius + 1) ** 2
-        perm = None
-        if self.corr_packed:
-            from ..ops.corr import packed_to_reference_perm
-            perm = packed_to_reference_perm(self.corr_levels, self.corr_radius)
-        cor = nn.relu(PermutedConv1x1(256, cor_planes, perm,
-                                      name="convc1", dtype=d)(corr))
+        cor = nn.relu(_convc1(256, self.corr_levels, self.corr_radius, d,
+                              flow, corr))
         cor = nn.relu(conv2d(192, 3, 1, 1, name="convc2", dtype=d, in_features=256)(cor))
         flo = nn.relu(conv2d(128, 7, 1, 3, name="convf1", dtype=d, in_features=2)(flow))
         flo = nn.relu(conv2d(64, 3, 1, 1, name="convf2", dtype=d, in_features=128)(flo))
@@ -165,14 +174,12 @@ class SmallUpdateBlock(nn.Module):
     corr_levels: int
     corr_radius: int
     hidden_dim: int = 96
-    corr_packed: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, net, inp, corr, flow):
         d = self.dtype
         motion = SmallMotionEncoder(self.corr_levels, self.corr_radius,
-                                    corr_packed=self.corr_packed,
                                     name="encoder", dtype=d)(flow, corr)
         inp = jnp.concatenate([inp, motion], axis=-1)
         net = ConvGRU(self.hidden_dim, 82 + 64, name="gru", dtype=d)(net, inp)
@@ -184,7 +191,6 @@ class BasicUpdateBlock(nn.Module):
     corr_levels: int
     corr_radius: int
     hidden_dim: int = 128
-    corr_packed: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -195,7 +201,6 @@ class BasicUpdateBlock(nn.Module):
         bench shapes, wasted 11/12 times otherwise)."""
         d = self.dtype
         motion = BasicMotionEncoder(self.corr_levels, self.corr_radius,
-                                    corr_packed=self.corr_packed,
                                     name="encoder", dtype=d)(flow, corr)
         inp = jnp.concatenate([inp, motion], axis=-1)
         net = SepConvGRU(self.hidden_dim, 128 + self.hidden_dim, name="gru", dtype=d)(net, inp)

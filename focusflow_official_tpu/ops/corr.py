@@ -310,13 +310,15 @@ def lookup_corr_fused_chunks(
       (round-3 profile: 2.2 ms of (36,36) writes + 3.5 ms of
       slice/copy/relayout per 12-iteration forward).
 
-    Returns L chunks of (B, H1, W1, K*K), channels packed as j*K + i
-    (y-offset slow). Consumers that need the reference channel order fold
-    `packed_to_reference_perm` into their first 1x1 conv's kernel (a free,
-    loop-invariant gather) rather than permuting activations.
+    Returns L chunks of (B, Q, K, K) in QUERY space — o[b, q, j, i] with
+    j = y offset, i = x offset (the reference order is i*K+j, `corr.py:39-43`).
+    Deliberately NOT reshaped to NHWC: the (B, Q, 9, 9) -> (B, H1, W1, 81)
+    relayout measured ~0.5 ms/iteration (round-3 profile). Consumers fold
+    their first 1x1 conv onto the chunks directly in query space
+    (`nn.update.ChunkFoldedConv1x1`) and bitcast the 256-channel result to
+    NHWC for free.
     """
     b, q, h2, w2 = corr0.shape
-    _, h1, w1, _ = coords.shape
     k = 2 * radius + 1
     sizes = _pool_sizes(h2, w2, num_levels)
 
@@ -331,6 +333,15 @@ def lookup_corr_fused_chunks(
         ],
         axis=-2,
     ).astype(dtype)  # (B, Q, L*K, W2)
+    # one fused build for every level's y-weights (4 separate builds paid a
+    # 0.67 ms/run convert+relayout EACH before their dots — round-3 profile)
+    sy_all = jnp.concatenate(
+        [
+            _block_tent_weights_t(cy[..., None] / (2.0 ** l) + d, l, h2, hl)
+            for l, (hl, _) in enumerate(sizes)
+        ],
+        axis=-1,
+    ).astype(dtype)  # (B, Q, H2, L*K)
 
     c = corr0.astype(dtype)
     # t[b,q,y,i] = sum_x corr[b,q,y,x] * sx[b,q,i,x]
@@ -339,14 +350,14 @@ def lookup_corr_fused_chunks(
                    precision=jax.lax.Precision.HIGHEST).astype(dtype)
 
     chunks = []
-    for l, (hl, _) in enumerate(sizes):
-        sy_l = _block_tent_weights_t(
-            cy[..., None] / (2.0 ** l) + d, l, h2, hl).astype(dtype)
+    for l in range(num_levels):
         # o[b,q,j,i] = sum_y sy[b,q,y,j] * t[b,q,y,i] on this level's slice
-        o = jnp.einsum("bqyj,bqyi->bqji", sy_l, t[:, :, :, l * k:(l + 1) * k],
+        o = jnp.einsum("bqyj,bqyi->bqji",
+                       sy_all[:, :, :, l * k:(l + 1) * k],
+                       t[:, :, :, l * k:(l + 1) * k],
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-        chunks.append(o.reshape(b, h1, w1, k * k))
+        chunks.append(o)
     return tuple(chunks)
 
 

@@ -96,15 +96,18 @@ class TestFusedLookup:
         )
 
         f1, f2, coords = _toy_problem()
+        b, h1, w1, _ = coords.shape
         corr0 = all_pairs_corr(f1, f2)
         want_fused = np.asarray(lookup_corr_fused(
             corr0, coords, 4, 4, dtype=jnp.float32))
         chunks = lookup_corr_fused_chunks(corr0, coords, 4, 4, dtype=jnp.float32)
-        assert len(chunks) == 4 and all(c.shape[-1] == 81 for c in chunks)
+        assert len(chunks) == 4 and all(c.shape[-2:] == (9, 9) for c in chunks)
         perm = np.asarray(packed_to_reference_perm(4, 4))
         # involution: the same permutation maps both directions
         assert np.array_equal(perm[perm], np.arange(perm.size))
-        got = np.asarray(jnp.concatenate(chunks, axis=-1))[..., perm]
+        packed = jnp.concatenate(
+            [c.reshape(b, h1, w1, 81) for c in chunks], axis=-1)
+        got = np.asarray(packed)[..., perm]
         np.testing.assert_allclose(got, want_fused, atol=2e-5, rtol=1e-5)
         np.testing.assert_allclose(got, _xla_reference(f1, f2, coords),
                                    atol=2e-4, rtol=1e-4)
