@@ -283,6 +283,10 @@ class FFRaft(nn.Module):
                 mask_modal=cfg.mask_modal, mask_channel=cfg.mask_channel,
                 mask_dilate=cfg.mask_dilate, kernel_size=cfg.kernel_size,
                 kernel_sigma=cfg.kernel_sigma,
+                # the CCE folds single-channel masks into its stem kernel
+                # (TiledInputConv) — skip the full-res C-channel tile there;
+                # the attention/conv front-ends consume C channels directly
+                tile_channels=cfg.fusion != "parallel",
             )
             mask1 = 2 * (mask1 / 255.0) - 1.0
             mask2 = 2 * (mask2 / 255.0) - 1.0

@@ -75,8 +75,17 @@ def _depthwise_conv(x: jnp.ndarray, kernel: np.ndarray, padding: int) -> jnp.nda
 
 
 def init_mask(image1, image2, mask1, mask2, *, mask_modal: str, mask_channel: int = 3,
-              mask_dilate: int = 31, kernel_size: int = 31, kernel_sigma: float = 5.0):
-    """Prepare (mask1, mask2) conditioning inputs from raw 0/255 masks (NHWC)."""
+              mask_dilate: int = 31, kernel_size: int = 31, kernel_sigma: float = 5.0,
+              tile_channels: bool = True):
+    """Prepare (mask1, mask2) conditioning inputs from raw 0/255 masks (NHWC).
+
+    tile_channels=False keeps the point/neighbor modalities single-channel:
+    consumers whose first conv folds its kernel over identical tiled input
+    channels (`nn.blocks.TiledInputConv`) skip materializing the full-res
+    C-channel tile (a 1.15 ms padded-layout broadcast at bench shapes).
+    The context/frame modalities are image-valued and unaffected."""
+    if not tile_channels:
+        mask_channel = mask1.shape[-1]
     if mask_modal == "point":
         if mask1.shape[-1] != mask_channel:
             mask1 = jnp.tile(mask1, (1, 1, 1, mask_channel))

@@ -16,7 +16,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .blocks import ResidualBlock, conv2d, _stem
+from .blocks import ResidualBlock, TiledInputConv, conv2d, _stem
 from .fusion_units import FusionUnit
 from .norm import Norm
 
@@ -39,7 +39,13 @@ class BasicParallelFusionLayer(nn.Module):
         ft = self.fusion_type
 
         stem = _stem(d)
-        mask = stem(64, self.mask_channel, "mask_conv1")(mask)
+        if mask.shape[-1] == 1 and self.mask_channel != 1:
+            # single-channel stand-in for a tiled mask: fold the tile into
+            # the stem kernel (exact by linearity; see TiledInputConv)
+            mask = TiledInputConv(64, self.mask_channel,
+                                  name="mask_conv1", dtype=d)(mask)
+        else:
+            mask = stem(64, self.mask_channel, "mask_conv1")(mask)
         mask = Norm(self.norm_fn, 64, 8, name="mask_norm1", dtype=d)(mask, ura, fuse_relu=True, is_eval=ev)
 
         x = stem(64, self.img_channel, "conv1")(x)
