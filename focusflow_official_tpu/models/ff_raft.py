@@ -62,10 +62,12 @@ class RAFTStep(nn.Module):
         # Reference detaches coords each iteration (`raft.py:216`).
         coords1 = jax.lax.stop_gradient(coords1)
         if self.corr_impl == "fused" and self.corr_levels > 1:
-            # chunked fused lookup: per-level (B, Q, K, K) query-space blocks;
-            # the motion encoder folds the reference channel order AND the
-            # NHWC repack into its (loop-invariant) convc1 kernel, so no
-            # per-iteration extraction/transpose/relayout ops exist at all
+            # chunked fused lookup: per-level (B, Q, K, K) query-space
+            # blocks; the motion encoder folds the reference channel order
+            # AND the NHWC repack into its (loop-invariant) convc1 kernel.
+            # (The single-tensor VPU-stage-2 variant `lookup_corr_fused_packed`
+            # measured SLOWER: 26.6 vs 29.1 fps — XLA lays the reduce fusion
+            # out Q-minor and pays 2.4 ms of relayouts. BENCH.md round 3.)
             corr = lookup_corr_fused_chunks(
                 pyramid.levels[0], coords1, self.corr_radius,
                 num_levels=self.corr_levels, dtype=self.dtype)

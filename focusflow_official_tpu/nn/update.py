@@ -36,7 +36,7 @@ class ChunkFoldedConv1x1(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, chunks: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    def __call__(self, chunks) -> jnp.ndarray:
         k = 2 * self.corr_radius + 1
         cin, cout = self.corr_levels * k * k, self.features
         kernel = self.param("kernel", kaiming_out, (1, 1, cin, cout), jnp.float32)
@@ -46,13 +46,23 @@ class ChunkFoldedConv1x1(nn.Module):
             (cout,), jnp.float32)
         w = kernel[0, 0]  # (cin, cout), rows ordered l, then i slow, j fast
         d = self.dtype
-        acc = None
-        for l, ch in enumerate(chunks):
-            wl = w[l * k * k:(l + 1) * k * k].reshape(k, k, cout)  # [i, j, o]
-            y = jnp.einsum("bqji,ijo->bqo", ch.astype(d), wl.astype(d),
-                           precision=jax.lax.Precision.HIGHEST)
-            acc = y if acc is None else acc + y
-        return acc + bias.astype(d)
+        if isinstance(chunks, tuple):
+            acc = None
+            for l, ch in enumerate(chunks):
+                wl = w[l * k * k:(l + 1) * k * k].reshape(k, k, cout)  # [i, j, o]
+                y = jnp.einsum("bqji,ijo->bqo", ch.astype(d), wl.astype(d),
+                               precision=jax.lax.Precision.HIGHEST)
+                acc = y if acc is None else acc + y
+            return acc + bias.astype(d)
+        # packed (B, Q, L*K*K) in (l, j, i) order: the packed->reference
+        # permutation is an involution, so indexing W with it maps either way
+        from ..ops.corr import packed_to_reference_perm
+
+        perm = jnp.asarray(packed_to_reference_perm(self.corr_levels,
+                                                    self.corr_radius))
+        y = jnp.einsum("bqc,co->bqo", chunks.astype(d), w[perm].astype(d),
+                       precision=jax.lax.Precision.HIGHEST)
+        return y + bias.astype(d)
 
 
 class FlowHead(nn.Module):
@@ -120,7 +130,7 @@ def _convc1(features, corr_levels, corr_radius, dtype, flow, corr):
     (tuple of (B, Q, K, K)); the (B, Q, F) result reshapes to NHWC for free
     (F is the minor dim both ways)."""
     cor_planes = corr_levels * (2 * corr_radius + 1) ** 2
-    if isinstance(corr, tuple):
+    if isinstance(corr, tuple) or corr.ndim == 3:
         b, h, w = flow.shape[:3]
         cor = ChunkFoldedConv1x1(features, corr_levels, corr_radius,
                                  name="convc1", dtype=dtype)(corr)

@@ -361,6 +361,74 @@ def lookup_corr_fused_chunks(
     return tuple(chunks)
 
 
+def lookup_corr_fused_packed(
+    corr0: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int,
+    num_levels: int = 4,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Fused lookup emitting ONE packed (B, Q, L*K*K) tensor, with stage 2
+    as a single VPU broadcast-multiply-reduce instead of per-level dots.
+
+    MEASURED SLOWER in-model than `lookup_corr_fused_chunks` (26.6 vs 29.1
+    fps, BENCH.md round 3): XLA lays the reduce fusion out Q-minor and
+    relayouts both t (1.3 ms) and the sy build (1.1 ms) to feed it. Kept as
+    a correctness-tested A/B variant and documentation of the negative.
+
+    The per-level stage-2 dots produce (B, Q, K, K) outputs whose K=9 minor
+    dims tile terribly on TPU (lanes pad 9->128); profiling showed the dots
+    + the relayout copies their consumers forced cost ~0.34 ms/iteration
+    against a ~0.07 ms memory roofline. Here the diagonal-block contraction
+    o[q, (l,j,i)] = sum_y sy_l[q,y,j] * t_l[q,y,i] is one fused
+    broadcast-multiply with an f32-accumulating sum over y: XLA keeps it a
+    single reduce fusion reading t once and writing the packed (B, Q, 324)
+    layout every consumer wants (channels minor).
+
+    Channel packing is l*K*K + j*K + i (j = y-offset SLOW); the reference
+    order is l*K*K + i*K + j (`corr.py:39-43`) — consumers fold the reorder
+    into their first 1x1 conv kernel (`nn.update.ChunkFoldedConv1x1`).
+    """
+    b, q, h2, w2 = corr0.shape
+    k = 2 * radius + 1
+    sizes = _pool_sizes(h2, w2, num_levels)
+
+    d = jnp.linspace(-radius, radius, k, dtype=jnp.float32)
+    cx = coords[..., 0].reshape(b, q)
+    cy = coords[..., 1].reshape(b, q)
+
+    sx_all = jnp.concatenate(
+        [
+            _block_tent_weights(cx[..., None] / (2.0 ** l) + d, l, w2, wl)
+            for l, (_, wl) in enumerate(sizes)
+        ],
+        axis=-2,
+    ).astype(dtype)  # (B, Q, L*K, W2)
+    sy_all = jnp.concatenate(
+        [
+            _block_tent_weights_t(cy[..., None] / (2.0 ** l) + d, l, h2, hl)
+            for l, (hl, _) in enumerate(sizes)
+        ],
+        axis=-1,
+    ).astype(dtype)  # (B, Q, H2, L*K)
+
+    c = corr0.astype(dtype)
+    # stage 1 (MXU): t[b,q,y,(l,i)] = sum_x corr[b,q,y,x] * sx[b,q,(l,i),x]
+    t = jnp.einsum("bqyx,bqix->bqyi", c, sx_all,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(dtype)
+
+    # stage 2 (VPU): broadcast both operands to (B, Q, H2, L, K, K) and
+    # f32-accumulate over y — broadcasts stay inside the reduce fusion
+    sy_b = sy_all.reshape(b, q, h2, num_levels, k, 1)  # j slow
+    t_b = t.reshape(b, q, h2, num_levels, 1, k)        # i fast
+    o = jnp.sum(
+        (sy_b * t_b).astype(jnp.float32),
+        axis=2,
+    )  # (B, Q, L, K, K)
+    return o.reshape(b, q, num_levels * k * k).astype(dtype)
+
+
 def lookup_corr_pyramid(
     pyramid: CorrPyramid, coords: jnp.ndarray, impl: str = "auto",
     num_levels: int = 4,

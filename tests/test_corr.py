@@ -112,6 +112,28 @@ class TestFusedLookup:
         np.testing.assert_allclose(got, _xla_reference(f1, f2, coords),
                                    atol=2e-4, rtol=1e-4)
 
+    def test_packed_matches_fused_and_xla(self):
+        """The VPU-stage-2 packed form equals the monolithic fused form and
+        the gather reference after the static packed->reference permutation."""
+        from focusflow_official_tpu.ops.corr import (
+            lookup_corr_fused, lookup_corr_fused_packed,
+            packed_to_reference_perm,
+        )
+
+        f1, f2, coords = _toy_problem()
+        b, h1, w1, _ = coords.shape
+        corr0 = all_pairs_corr(f1, f2)
+        want_fused = np.asarray(lookup_corr_fused(
+            corr0, coords, 4, 4, dtype=jnp.float32))
+        packed = lookup_corr_fused_packed(corr0, coords, 4, 4,
+                                          dtype=jnp.float32)
+        assert packed.shape == (b, h1 * w1, 4 * 81)
+        perm = np.asarray(packed_to_reference_perm(4, 4))
+        got = np.asarray(packed).reshape(b, h1, w1, -1)[..., perm]
+        np.testing.assert_allclose(got, want_fused, atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(got, _xla_reference(f1, f2, coords),
+                                   atol=2e-4, rtol=1e-4)
+
     def test_weight_fold_identity(self):
         """conv1x1(reference_order, W) == conv1x1(packed_order, W[perm]) —
         the identity the motion encoder's PermutedConv1x1 relies on."""
