@@ -65,12 +65,22 @@ class RAFTStep(nn.Module):
             # chunked fused lookup: per-level (B, Q, K, K) query-space
             # blocks; the motion encoder folds the reference channel order
             # AND the NHWC repack into its (loop-invariant) convc1 kernel.
-            # (The single-tensor VPU-stage-2 variant `lookup_corr_fused_packed`
-            # measured SLOWER: 26.6 vs 29.1 fps — XLA lays the reduce fusion
-            # out Q-minor and pays 2.4 ms of relayouts. BENCH.md round 3.)
-            corr = lookup_corr_fused_chunks(
-                pyramid.levels[0], coords1, self.corr_radius,
-                num_levels=self.corr_levels, dtype=self.dtype)
+            # (Measured-slower A/B variants, BENCH.md round 3: 'packed'
+            # VPU stage 2 = 26.6 fps (Q-minor reduce layouts), 'full'
+            # (LK,LK) product + block-sparse convc1 = 27.1 fps, vs 29.1
+            # for chunks.)
+            import os
+
+            if os.environ.get("FF_FUSED_STAGE2", "chunks") == "full":
+                from ..ops.corr import lookup_corr_fused_full
+
+                corr = lookup_corr_fused_full(
+                    pyramid.levels[0], coords1, self.corr_radius,
+                    num_levels=self.corr_levels, dtype=self.dtype)
+            else:
+                corr = lookup_corr_fused_chunks(
+                    pyramid.levels[0], coords1, self.corr_radius,
+                    num_levels=self.corr_levels, dtype=self.dtype)
         else:
             corr = lookup_corr_pyramid(
                 pyramid, coords1, impl=self.corr_impl, num_levels=self.corr_levels

@@ -36,6 +36,9 @@ _USE_PALLAS_INSTANCE_NORM = os.environ.get("FF_PALLAS_INSTANCE_NORM", "0") == "1
 # XLA-chosen layouts. Measured 23.8 -> 25.1 fps on the flagship bench
 # (BENCH.md round 2). FF_PALLAS_IN_STATS=0 opts out.
 _USE_PALLAS_IN_STATS = os.environ.get("FF_PALLAS_IN_STATS", "1") == "1"
+# A/B: optimization_barrier between the conv chain and the stats custom call
+# (see the instance branch below).
+_IN_STATS_BARRIER = os.environ.get("FF_IN_STATS_BARRIER", "0") == "1"
 
 
 def _pallas_in_ok() -> bool:
@@ -107,7 +110,16 @@ class Norm(nn.Module):
             if _USE_PALLAS_IN_STATS and is_eval and _pallas_in_ok():
                 from ..kernels.instance_norm import instance_norm_stats
 
-                mean, inv = instance_norm_stats(x, self.epsilon)
+                xs = x
+                if _IN_STATS_BARRIER:
+                    # decouple the stats custom call from the conv chain so
+                    # XLA's space-to-batch conv rewrite still fires on the
+                    # surrounding convolutions (the opaque custom call as a
+                    # direct consumer blocks it — BENCH.md round 3); the
+                    # barrier makes the stats input an isolated batch-to-space
+                    # copy instead of a layout anchor
+                    (xs,) = jax.lax.optimization_barrier((x,))
+                mean, inv = instance_norm_stats(xs, self.epsilon)
                 out = (x - mean.astype(d)) * inv.astype(d)
                 out = out.astype(self.dtype)
                 return nn.relu(out) if fuse_relu else out

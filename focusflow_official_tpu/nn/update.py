@@ -54,6 +54,20 @@ class ChunkFoldedConv1x1(nn.Module):
                                precision=jax.lax.Precision.HIGHEST)
                 acc = y if acc is None else acc + y
             return acc + bias.astype(d)
+        if chunks.ndim == 4:
+            # full (B, Q, LK, LK) stage-2 product: contract against the
+            # block-diagonal folded kernel — only level(ja)==level(ia)
+            # entries are meaningful, the rest hit zero weights. 4x the
+            # convc1 FLOPs (noise on the MXU), zero extraction ops.
+            lk = self.corr_levels * k
+            wl = jnp.zeros((lk, lk, cout), jnp.float32)
+            for l in range(self.corr_levels):
+                blk = w[l * k * k:(l + 1) * k * k].reshape(k, k, cout)  # [i, j, o]
+                wl = wl.at[l * k:(l + 1) * k, l * k:(l + 1) * k].set(
+                    blk.transpose(1, 0, 2))
+            y = jnp.einsum("bqji,jio->bqo", chunks.astype(d), wl.astype(d),
+                           precision=jax.lax.Precision.HIGHEST)
+            return y + bias.astype(d)
         # packed (B, Q, L*K*K) in (l, j, i) order: the packed->reference
         # permutation is an involution, so indexing W with it maps either way
         from ..ops.corr import packed_to_reference_perm
@@ -130,7 +144,8 @@ def _convc1(features, corr_levels, corr_radius, dtype, flow, corr):
     (tuple of (B, Q, K, K)); the (B, Q, F) result reshapes to NHWC for free
     (F is the minor dim both ways)."""
     cor_planes = corr_levels * (2 * corr_radius + 1) ** 2
-    if isinstance(corr, tuple) or corr.ndim == 3:
+    # query-space forms: chunk tuple, packed (B,Q,LKK), or full (B,Q,LK,LK)
+    if isinstance(corr, tuple) or corr.ndim == 3 or corr.shape[-1] != cor_planes:
         b, h, w = flow.shape[:3]
         cor = ChunkFoldedConv1x1(features, corr_levels, corr_radius,
                                  name="convc1", dtype=dtype)(corr)

@@ -429,6 +429,59 @@ def lookup_corr_fused_packed(
     return o.reshape(b, q, num_levels * k * k).astype(dtype)
 
 
+def lookup_corr_fused_full(
+    corr0: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int,
+    num_levels: int = 4,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Fused lookup emitting the FULL (B, Q, LK, LK) stage-2 cross product.
+
+    Only the L diagonal (level-matching) KxK blocks are meaningful; instead
+    of extracting them (slices/transposes/relayouts — the round-2 tax) or
+    running per-level dots (K=9 lane starvation — the round-3 chunk form's
+    residual copies), the consumer contracts the whole (LK, LK) output
+    against a BLOCK-SPARSE folded convc1 kernel
+    (`nn.update.ChunkFoldedConv1x1`): 4x the convc1 contraction FLOPs,
+    which is noise on the MXU, and zero data-movement ops.
+
+    o[b, q, ja, ia] = sum_y sy[b,q,y,ja] * t[b,q,y,ia]; the meaningful
+    entries are level(ja) == level(ia) with j = y-offset, i = x-offset.
+    """
+    b, q, h2, w2 = corr0.shape
+    k = 2 * radius + 1
+    sizes = _pool_sizes(h2, w2, num_levels)
+
+    d = jnp.linspace(-radius, radius, k, dtype=jnp.float32)
+    cx = coords[..., 0].reshape(b, q)
+    cy = coords[..., 1].reshape(b, q)
+
+    sx_all = jnp.concatenate(
+        [
+            _block_tent_weights(cx[..., None] / (2.0 ** l) + d, l, w2, wl)
+            for l, (_, wl) in enumerate(sizes)
+        ],
+        axis=-2,
+    ).astype(dtype)  # (B, Q, L*K, W2)
+    sy_all = jnp.concatenate(
+        [
+            _block_tent_weights_t(cy[..., None] / (2.0 ** l) + d, l, h2, hl)
+            for l, (hl, _) in enumerate(sizes)
+        ],
+        axis=-1,
+    ).astype(dtype)  # (B, Q, H2, L*K)
+
+    c = corr0.astype(dtype)
+    t = jnp.einsum("bqyx,bqix->bqyi", c, sx_all,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(dtype)
+    o = jnp.einsum("bqyj,bqyi->bqji", sy_all, t,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return o.astype(dtype)  # (B, Q, LK_j, LK_i)
+
+
 def lookup_corr_pyramid(
     pyramid: CorrPyramid, coords: jnp.ndarray, impl: str = "auto",
     num_levels: int = 4,

@@ -46,7 +46,7 @@ def make_eval_forward(model, variables, iters: int):
 
 
 def _make_metrics_fn(model, variables, iters: int, pad_mode: Optional[str],
-                     sparse: bool = False):
+                     sparse: bool = False, bucketed: bool = False):
     """jit'd per-sample metrics, all reductions on device.
 
     Returns (epe_sum, px_count, mask_epe_mean_or_nan, kitti_epe_mean,
@@ -59,11 +59,18 @@ def _make_metrics_fn(model, variables, iters: int, pad_mode: Optional[str],
     dense datasets synthesize valid = |flow|<1000 for the trainer; ignoring
     it here keeps the metric reference-comparable even if a dense GT pixel
     ever exceeded 1000 (ADVICE r2).
+
+    bucketed: inputs were already edge-padded host-side to ONE canonical
+    /8-divisible shape (`_pad_canonical`), so the in-graph padder is skipped
+    and every metric is masked to the true image extent via `extent` — one
+    XLA compile covers every native resolution in the dataset instead of a
+    multi-minute compile per distinct shape (BENCH.md round 3). The padding
+    never enters a metric: `extent` zeros it out of every reduction.
     """
 
     @jax.jit
-    def metrics(image1, image2, mask1, mask2, flow_gt, valid):
-        if pad_mode is not None:
+    def metrics(image1, image2, mask1, mask2, flow_gt, valid, extent):
+        if pad_mode is not None and not bucketed:
             padder = InputPadder(image1.shape, mode=pad_mode)
             pi1, pi2, pm1, pm2 = padder.pad(image1, image2, mask1, mask2)
             flow = padder.unpad(
@@ -73,9 +80,12 @@ def _make_metrics_fn(model, variables, iters: int, pad_mode: Optional[str],
                                  (image1, image2, mask1, mask2), iters)
         epe = jnp.sqrt(jnp.sum((flow[0] - flow_gt) ** 2, axis=-1))  # (H, W)
         mag = jnp.sqrt(jnp.sum(flow_gt ** 2, axis=-1))
-        val = (valid >= 0.5) if sparse else jnp.ones(epe.shape, bool)
+        ext = extent >= 0.5
+        val = ((valid >= 0.5) & ext) if sparse else ext
 
-        sel = (mask1[0, ..., 0] > 0.5) & val
+        # edge padding can replicate keypoints into the pad band; the extent
+        # mask keeps the selector identical to the reference's native grid
+        sel = (mask1[0, ..., 0] > 0.5) & (val if sparse else ext)
         n_sel = jnp.sum(sel)
         mepe = jnp.where(n_sel > 0, jnp.sum(jnp.where(sel, epe, 0.0)) / n_sel,
                          jnp.nan)
@@ -88,16 +98,44 @@ def _make_metrics_fn(model, variables, iters: int, pad_mode: Optional[str],
     return metrics
 
 
-def _collect(dataset, metrics_fn, progress):
+def _pad_canonical(arr: np.ndarray, canonical, mode: str, edge: bool) -> np.ndarray:
+    """Host-side pad of one (H, W, C) array to the canonical (Hc, Wc), using
+    the reference padder's placement (sintel: centered; kitti: bottom pad,
+    centered W — `/root/reference/core/utils/utils.py:13-16`), so the true
+    image sits exactly where the per-shape padder would have put it."""
+    ht, wd = arr.shape[:2]
+    hc, wc = canonical
+    ph, pw = hc - ht, wc - wd
+    if ph < 0 or pw < 0:
+        raise ValueError(f"sample {(ht, wd)} exceeds canonical {canonical}")
+    if mode == "sintel":
+        t, b, l, r = ph // 2, ph - ph // 2, pw // 2, pw - pw // 2
+    else:
+        t, b, l, r = 0, ph, pw // 2, pw - pw // 2
+    return np.pad(arr, ((t, b), (l, r), (0, 0)),
+                  mode="edge" if edge else "constant")
+
+
+def _collect(dataset, metrics_fn, progress, canonical=None, pad_mode=None):
     per_sample = []
     for i in range(len(dataset)):
         s = dataset[i]
         valid = s.get("valid")
         if valid is None:
             valid = np.ones(s["flow"].shape[:2], np.float32)
+        extent = np.ones(s["flow"].shape[:2], np.float32)
+        ims = {k: np.asarray(s[k]) for k in ("image1", "image2", "mask1", "mask2")}
+        flow_gt, valid = np.asarray(s["flow"]), np.asarray(valid)
+        if canonical is not None:
+            ims = {k: _pad_canonical(v, canonical, pad_mode, edge=True)
+                   for k, v in ims.items()}
+            flow_gt = _pad_canonical(flow_gt, canonical, pad_mode, edge=False)
+            valid, extent = [
+                _pad_canonical(m[..., None], canonical, pad_mode, edge=False)[..., 0]
+                for m in (valid, extent)]
         per_sample.append(metrics_fn(
-            *[jnp.asarray(s[k][None]) for k in ("image1", "image2", "mask1", "mask2")],
-            jnp.asarray(s["flow"]), jnp.asarray(valid),
+            *[jnp.asarray(ims[k][None]) for k in ("image1", "image2", "mask1", "mask2")],
+            jnp.asarray(flow_gt), jnp.asarray(valid), jnp.asarray(extent),
         ))
         if progress:
             progress(i, len(dataset))
@@ -128,10 +166,17 @@ def validate_sintel(model, variables, datasets: Dict[str, object],
 
 
 def validate_kitti(model, variables, dataset, mask_type: str = "orb",
-                   iters: int = 32, progress: Optional[Callable] = None) -> Dict:
+                   iters: int = 32, progress: Optional[Callable] = None,
+                   canonical=(384, 1248)) -> Dict:
+    """canonical: single padded (H, W) bucket covering every KITTI native
+    resolution (max 376x1242) — ONE XLA compile for the whole pass instead
+    of one multi-minute compile per distinct shape; metrics are masked to
+    each frame's true extent. Pass canonical=None for the reference
+    per-shape behavior."""
     m = _collect(dataset, _make_metrics_fn(model, variables, iters, "kitti",
-                                           sparse=True),
-                 progress)
+                                           sparse=True,
+                                           bucketed=canonical is not None),
+                 progress, canonical=canonical, pad_mode="kitti")
     return {
         "kitti-epe": float(np.mean(m[:, 3])),  # mean of per-image means
         "kitti-f1": float(100 * m[:, 4].sum() / m[:, 5].sum()),
