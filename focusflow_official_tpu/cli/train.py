@@ -130,10 +130,23 @@ def train(args) -> int:
     mask_root = mask_roots(data_root)
     stage = cfg.TRAIN.STAGE
     train_ds = "C+T+S" if stage == "sintel" else None
+    device_aug = None
+    if args.device_aug:
+        # on-device augmentation (data/device_aug.py): the loader ships RAW
+        # frames, the jit'd step does jitter/eraser/warp/crop — the single
+        # host core caps the CPU augmentor at ~15 samples/s (BENCH.md r3)
+        from ..data.device_aug import DeviceFlowAugmentor
+
+        scales = {"chairs": (-0.1, 1.0), "things": (-0.4, 0.8)}
+        if stage not in scales:
+            raise SystemExit(f"--device-aug supports stages {list(scales)}; "
+                             f"stage={stage} needs per-sample recipes")
+        device_aug = DeviceFlowAugmentor(
+            tuple(cfg.TRAIN.IMAGE_SIZE), *scales[stage], do_flip=True)
     dataset = fetch_dataset(
         data_root, mask_root, stage=stage,
         image_size=tuple(cfg.TRAIN.IMAGE_SIZE), mask_type=cfg.TRAIN.MASK_TYPE,
-        train_ds=train_ds, seed=seed,
+        train_ds=train_ds, seed=seed, no_aug=device_aug is not None,
     )
     # round the global batch up to a device multiple so the leading axis
     # shards evenly over the mesh (the reference's BATCH_SIZE//world_size
@@ -215,7 +228,8 @@ def train(args) -> int:
     state = jax.device_put(state, replicate(mesh))
 
     step_fn = make_train_step(loss_fn, iters=model_iters,
-                              add_noise=bool(cfg.TRAIN.get("ADD_NOISE", False)))
+                              add_noise=bool(cfg.TRAIN.get("ADD_NOISE", False)),
+                              device_augmentor=device_aug)
 
     val_freq = args.val_freq
     total = start_step
@@ -302,6 +316,9 @@ def main():
     parser.add_argument("--corr-impl", default="auto",
                         choices=["auto", "xla", "mxu", "fused", "pallas"])
     parser.add_argument("--val-freq", type=int, default=5000)
+    parser.add_argument("--device-aug", action="store_true",
+                        help="run the augmentation recipe inside the jit'd "
+                             "step (raw-frame loader; chairs/things stages)")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace into this dir")
     parser.add_argument("--profile-start", type=int, default=10)

@@ -254,15 +254,25 @@ class WeightedConcat:
 
 def fetch_dataset(data_root: Dict[str, str], mask_root: Dict[str, str], *,
                   stage: str, image_size, mask_type: str = "orb",
-                  train_ds: Optional[str] = "C+T+S", seed: Optional[int] = 0):
-    """Stage-curriculum dataset builder (`core/datasets.py:257-301`)."""
+                  train_ds: Optional[str] = "C+T+S", seed: Optional[int] = 0,
+                  no_aug: bool = False):
+    """Stage-curriculum dataset builder (`core/datasets.py:257-301`).
+
+    no_aug=True returns RAW full-resolution samples (the on-device
+    augmentation path, `data/device_aug.py`, applies the same recipe inside
+    the jit'd train step); only the homogeneous-resolution chairs/things
+    stages support it so far."""
     if stage == "chairs":
-        aug = dict(crop_size=image_size, min_scale=-0.1, max_scale=1.0, do_flip=True)
+        aug = None if no_aug else dict(
+            crop_size=image_size, min_scale=-0.1, max_scale=1.0, do_flip=True)
         return FlyingChairs(data_root["chairs"], mask_root["chairs"], aug,
                             split="training", mask_type=mask_type, seed=seed)
 
     if stage == "things":
-        aug = dict(crop_size=image_size, min_scale=-0.4, max_scale=0.8, do_flip=True)
+        if no_aug:
+            aug = None
+        else:
+            aug = dict(crop_size=image_size, min_scale=-0.4, max_scale=0.8, do_flip=True)
         clean = FlyingThings3D(data_root["things"], mask_root["things"], aug,
                                dstype="frames_cleanpass", mask_type=mask_type, seed=seed)
         final = FlyingThings3D(data_root["things"], mask_root["things"], aug,
@@ -270,6 +280,10 @@ def fetch_dataset(data_root: Dict[str, str], mask_root: Dict[str, str], *,
         return WeightedConcat([(clean, 1), (final, 1)])
 
     if stage == "sintel":
+        if no_aug:
+            raise NotImplementedError(
+                "device-aug supports the chairs/things stages (mixed-dataset "
+                "stages need per-sample recipes)")
         aug = dict(crop_size=image_size, min_scale=-0.2, max_scale=0.6, do_flip=True)
         clean = MpiSintel(data_root["sintel"], mask_root["sintel"], aug,
                           dstype="clean", mask_type=mask_type, seed=seed)
@@ -289,6 +303,10 @@ def fetch_dataset(data_root: Dict[str, str], mask_root: Dict[str, str], *,
         raise ValueError(train_ds)
 
     if stage == "kitti":
+        if no_aug:
+            raise NotImplementedError(
+                "device-aug supports the chairs/things stages (mixed-dataset "
+                "stages need per-sample recipes)")
         saug = dict(crop_size=image_size, min_scale=-0.2, max_scale=0.6, do_flip=True)
         clean = MpiSintel(data_root["sintel"], mask_root["sintel"], saug,
                           dstype="clean", mask_type=mask_type, seed=seed)

@@ -126,16 +126,24 @@ def make_train_step(
     iters: int,
     add_noise: bool = True,
     noise_max_std: float = 5.0,
+    device_augmentor: Optional[Callable] = None,
 ):
     """Build the jit-able train step (donate the state for in-place update).
 
     loss_function(flow_preds, flow_gt, valid, mask) -> (loss, metrics); the
     noise augmentation reproduces `train.py:304-307` (one std per step,
     clamp to [0, 255]).
+
+    device_augmentor: optional `data.device_aug.DeviceFlowAugmentor` — the
+    batch then arrives as RAW full frames and jitter/eraser/warp/crop run
+    inside this jit'd step (the single host core caps the CPU augmentor at
+    ~15 samples/s; BENCH.md round 3).
     """
 
     def train_step(state: TrainState, batch: Dict, rng) -> tuple:
-        rng_noise1, rng_noise2, rng_std, rng_drop = jax.random.split(rng, 4)
+        rng_aug, rng_noise1, rng_noise2, rng_std, rng_drop = jax.random.split(rng, 5)
+        if device_augmentor is not None:
+            batch = device_augmentor(rng_aug, batch)
         img1, img2 = batch["image1"], batch["image2"]
         if add_noise:
             stdv = jax.random.uniform(rng_std, (), minval=0.0, maxval=noise_max_std)
