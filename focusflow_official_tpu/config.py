@@ -56,6 +56,7 @@ def model_config_from_yaml(cfg: ConfigNode, *, stage_override: Optional[str] = N
         abandon_fnet=bool(model.get("ABANDON_FNET", False)),
         fuse_cnet=bool(model.get("FUSE_CNET", False)),
         iters=int(model.get("ITERS", 12)),
+        alt_corr=bool(model.get("ALT_CORR", False)),
         dropout=float(model.get("DROPOUT", 0.0)),
         freeze_bn=stage != "chairs",  # `train.py:192-193`
         mask_modal=train.get("MASK_MODAL", "point"),

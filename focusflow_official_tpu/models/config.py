@@ -33,6 +33,11 @@ class FFRaftConfig:
     kernel_size: int = 31
     kernel_sigma: float = 5.0
 
+    # MODEL.ALT_CORR: memory-lean on-the-fly windowed correlation
+    # (`ops/corr.py::alternate_corr_lookup`; ref `corr.py:63-91`)
+    alt_corr: bool = False
+    alt_corr_chunk: int = 2048
+
     # implementation knobs (TPU-side, no reference analog)
     corr_impl: str = "xla"  # 'auto' | 'xla' | 'pallas'
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'

@@ -51,17 +51,29 @@ class RAFTStep(nn.Module):
     hidden_dim: int
     emit_upsampled: bool
     corr_impl: str
+    alt_corr: bool = False
+    alt_corr_chunk: int = 2048
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, carry, is_last, consts):
         net, coords1, _ = carry
         inp, coords0, levels = consts
-        pyramid = CorrPyramid(levels=levels, radius=self.corr_radius)
 
         # Reference detaches coords each iteration (`raft.py:216`).
         coords1 = jax.lax.stop_gradient(coords1)
-        if self.corr_impl == "fused" and self.corr_levels > 1:
+        if self.alt_corr:
+            # ALT_CORR: on-the-fly chunked correlation from the fmaps —
+            # `levels` carries (fmap1, fmap2), no volume was materialized
+            from ..ops.corr import alternate_corr_lookup
+
+            fmap1, fmap2 = levels
+            corr = alternate_corr_lookup(
+                fmap1, fmap2, coords1, self.corr_radius,
+                num_levels=self.corr_levels, chunk=self.alt_corr_chunk,
+                dtype=self.dtype)
+        elif self.corr_impl == "fused" and self.corr_levels > 1:
+            pyramid = CorrPyramid(levels=levels, radius=self.corr_radius)
             # chunked fused lookup: per-level (B, Q, K, K) query-space
             # blocks; the motion encoder folds the reference channel order
             # AND the NHWC repack into its (loop-invariant) convc1 kernel.
@@ -82,6 +94,7 @@ class RAFTStep(nn.Module):
                     pyramid.levels[0], coords1, self.corr_radius,
                     num_levels=self.corr_levels, dtype=self.dtype)
         else:
+            pyramid = CorrPyramid(levels=levels, radius=self.corr_radius)
             corr = lookup_corr_pyramid(
                 pyramid, coords1, impl=self.corr_impl, num_levels=self.corr_levels
             ).astype(self.dtype)
@@ -131,6 +144,8 @@ class RAFT(nn.Module):
     mask_channel: int = 3
     fusion_type: str = "1x1conv"
     corr_impl: str = "xla"
+    alt_corr: bool = False
+    alt_corr_chunk: int = 2048
     freeze_bn: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -194,16 +209,25 @@ class RAFT(nn.Module):
             impl = "mxu" if train else "fused"
         else:
             impl = self.corr_impl
-        corr0 = all_pairs_corr(fmap1, fmap2)
-        if impl != "xla" and d == jnp.bfloat16:
-            corr0 = corr0.astype(jnp.bfloat16)
-        # optional spatial sharding of the O((HW)^2) volume over the mesh's
-        # `model` axis (train/mesh.py::spatial_sharding; SURVEY.md §5.7)
-        from ..train.mesh import shard_queries
+        if self.alt_corr and corr_levels > 1:
+            # ALT_CORR (`corr.py:63-91`): no volume, no pyramid — the scan
+            # consts carry the feature maps and each iteration recomputes
+            # its windowed correlations chunk-wise on the MXU
+            b_, h_, w_, c_ = fmap1.shape
+            scan_levels = (fmap1.reshape(b_, h_ * w_, c_).astype(d),
+                           fmap2.astype(d))
+        else:
+            corr0 = all_pairs_corr(fmap1, fmap2)
+            if impl != "xla" and d == jnp.bfloat16:
+                corr0 = corr0.astype(jnp.bfloat16)
+            # optional spatial sharding of the O((HW)^2) volume over the
+            # mesh's `model` axis (train/mesh.py::spatial_sharding; §5.7)
+            from ..train.mesh import shard_queries
 
-        corr0 = shard_queries(corr0, axis=1)
-        fused = impl == "fused" and corr_levels > 1
-        pyramid = corr_pyramid(corr0, corr_levels, corr_radius, fused=fused)
+            corr0 = shard_queries(corr0, axis=1)
+            fused = impl == "fused" and corr_levels > 1
+            pyramid = corr_pyramid(corr0, corr_levels, corr_radius, fused=fused)
+            scan_levels = pyramid.levels
 
         # ---- context network
         cnet_norm = "none" if self.small else "batch"
@@ -247,13 +271,15 @@ class RAFT(nn.Module):
             hidden_dim=hdim,
             emit_upsampled=not test_mode,
             corr_impl=impl,
+            alt_corr=self.alt_corr and corr_levels > 1,
+            alt_corr_chunk=self.alt_corr_chunk,
             dtype=d,
             name="update_step",
         )
         mask_state0 = None if self.small else jnp.zeros((b, h, w, 64 * 9), jnp.float32)
         is_last = jnp.arange(iters) == iters - 1
         (net, coords1, mask_state), flows = step(
-            (net, coords1, mask_state0), is_last, (inp, coords0, pyramid.levels)
+            (net, coords1, mask_state0), is_last, (inp, coords0, scan_levels)
         )
 
         if test_mode:
@@ -336,6 +362,8 @@ class FFRaft(nn.Module):
             mask_channel=cfg.mask_channel,
             fusion_type=cfg.fusion_type,
             corr_impl=cfg.corr_impl,
+            alt_corr=cfg.alt_corr,
+            alt_corr_chunk=cfg.alt_corr_chunk,
             freeze_bn=cfg.freeze_bn,
             name="flow_net",
             dtype=dtype,

@@ -482,6 +482,71 @@ def lookup_corr_fused_full(
     return o.astype(dtype)  # (B, Q, LK_j, LK_i)
 
 
+def alternate_corr_lookup(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int,
+    num_levels: int = 4,
+    chunk: int = 2048,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, ...]:
+    """Memory-lean windowed correlation straight from the feature maps.
+
+    TPU-native AlternateCorrBlock (reference
+    `/root/reference/core/models/ff-raft/FF_RAFT_Core/corr.py:63-91`, the
+    opt-in CUDA path behind `ALT_CORR`): never materializes the O((HW)^2)
+    all-pairs volume. Instead of the reference's per-query CUDA window
+    kernel — a gather, which serializes on TPU — this recomputes the
+    volume CHUNK-WISE on the MXU every iteration and immediately collapses
+    each (chunk, H2, W2) slice through the pool-composed fused lookup
+    (`lookup_corr_fused_chunks`), so peak extra memory is
+    O(chunk * H2 * W2) regardless of resolution. Recompute cost is one
+    (Q, C) @ (C, H2W2) matmul per iteration — MXU food; at bench shapes
+    ~0.2 ms/iter vs a materialized volume that stops fitting HBM at
+    ~2Kx1K frames (BENCH.md round 3).
+
+    fmap1: (B, H1, W1, C) or (B, Q, C); fmap2: (B, H2, W2, C).
+    Returns the same per-level (B, Q, K, K) chunk tuple as
+    `lookup_corr_fused_chunks` — bit-identical consumers.
+    """
+    b = fmap1.shape[0]
+    c = fmap1.shape[-1]
+    f1 = fmap1.reshape(b, -1, c).astype(dtype)
+    q = f1.shape[1]
+    h2, w2 = fmap2.shape[1:3]
+    f2 = fmap2.reshape(b, h2 * w2, c).astype(dtype)
+    coords_q = coords.reshape(b, q, 1, 2)
+    inv_sqrt_c = 1.0 / float(c) ** 0.5
+
+    n_chunks = -(-q // chunk)
+    pad = n_chunks * chunk - q
+    if pad:
+        f1 = jnp.pad(f1, ((0, 0), (0, pad), (0, 0)))
+        coords_q = jnp.pad(coords_q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    f1 = f1.reshape(b, n_chunks, chunk, c).transpose(1, 0, 2, 3)
+    coords_s = coords_q.reshape(b, n_chunks, chunk, 1, 2).transpose(1, 0, 2, 3, 4)
+
+    def body(_, xs):
+        f1_c, coords_c = xs
+        corr_c = jnp.einsum("bqc,bpc->bqp", f1_c, f2,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        corr_c = (corr_c * inv_sqrt_c).astype(dtype).reshape(b, chunk, h2, w2)
+        outs = lookup_corr_fused_chunks(corr_c, coords_c, radius,
+                                        num_levels=num_levels, dtype=dtype)
+        return None, outs
+
+    _, stacked = jax.lax.scan(body, None, (f1, coords_s))
+    # (n_chunks, B, chunk, K, K) per level -> (B, Q, K, K)
+    k = 2 * radius + 1
+    chunks = []
+    for lv in stacked:
+        lv = jnp.moveaxis(lv, 0, 1).reshape(b, n_chunks * chunk, k, k)
+        chunks.append(lv[:, :q])
+    return tuple(chunks)
+
+
 def lookup_corr_pyramid(
     pyramid: CorrPyramid, coords: jnp.ndarray, impl: str = "auto",
     num_levels: int = 4,

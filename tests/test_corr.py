@@ -149,6 +149,50 @@ class TestFusedLookup:
             np.einsum("bhwc,co->bhwo", packed, w[perm]),
             atol=1e-4, rtol=1e-5)
 
+    def test_alternate_matches_materialized(self):
+        """ALT_CORR path (chunked on-the-fly volume, `alternate_corr_lookup`)
+        equals the materialized fused lookup and the gather reference —
+        including a chunk size that does not divide Q (padding path)."""
+        from focusflow_official_tpu.ops.corr import (
+            alternate_corr_lookup, lookup_corr_fused_chunks,
+        )
+
+        f1, f2, coords = _toy_problem()
+        b, h1, w1, _ = coords.shape
+        corr0 = all_pairs_corr(f1, f2)
+        want = lookup_corr_fused_chunks(corr0, coords, 4, 4, dtype=jnp.float32)
+        for chunk in (h1 * w1, 48):  # one chunk; and a non-divisor
+            got = alternate_corr_lookup(f1, f2, coords, 4, 4, chunk=chunk,
+                                        dtype=jnp.float32)
+            assert len(got) == 4
+            for g, wnt in zip(got, want):
+                assert g.shape == (b, h1 * w1, 9, 9)
+                np.testing.assert_allclose(np.asarray(g), np.asarray(wnt),
+                                           atol=2e-4, rtol=1e-4)
+
+    def test_alternate_model_end_to_end(self):
+        """FFRaft with alt_corr=True matches the materialized model exactly
+        (same params, f32, xla vs alt path)."""
+        import jax
+
+        from focusflow_official_tpu.models import FFRaft, FFRaftConfig
+
+        rng = np.random.RandomState(2)
+        kw = dict(fusion="parallel", fusion_type="1x1conv", fuse_cnet=True,
+                  iters=3, corr_impl="fused")
+        img = lambda: jnp.asarray(rng.rand(1, 128, 160, 3) * 255, jnp.float32)
+        msk = lambda v: jnp.asarray(
+            (rng.rand(1, 128, 160, 1) > 0.99) * 255 if v is None else
+            np.full((1, 128, 160, 1), 255.0), jnp.float32)
+        i1, i2, m1, m2 = img(), img(), msk(None), msk(255)
+        base = FFRaft(FFRaftConfig(**kw))
+        alt = FFRaft(FFRaftConfig(**kw, alt_corr=True, alt_corr_chunk=128))
+        v = base.init(jax.random.PRNGKey(0), i1, i2, m1, m2, iters=1)
+        _, f_base = base.apply(v, i1, i2, m1, m2, test_mode=True)
+        _, f_alt = alt.apply(v, i1, i2, m1, m2, test_mode=True)
+        np.testing.assert_allclose(np.asarray(f_alt), np.asarray(f_base),
+                                   atol=5e-3, rtol=1e-4)
+
     def test_auto_routes_fused_pyramid(self):
         f1, f2, coords = _toy_problem(h=16, w=16)
         want = _xla_reference(f1, f2, coords)
