@@ -86,9 +86,18 @@ def adjust_hue(img, shift, mean_=None):
     q = mx - c * f
     t = mx - c * (1.0 - f)
     i = i.astype(jnp.int32) % 6
-    r2 = jnp.choose(i, [mx, q, p, p, t, mx], mode="clip")
-    g2 = jnp.choose(i, [t, mx, mx, q, p, p], mode="clip")
-    b2 = jnp.choose(i, [p, p, t, mx, mx, q], mode="clip")
+
+    def pick(options):
+        # select chain, NOT jnp.choose: choose lowers to a per-element
+        # gather, which serializes on TPU
+        out = options[0]
+        for k in range(1, 6):
+            out = jnp.where(i == k, options[k], out)
+        return out
+
+    r2 = pick([mx, q, p, p, t, mx])
+    g2 = pick([t, mx, mx, q, p, p])
+    b2 = pick([p, p, t, mx, mx, q])
     return jnp.clip(jnp.stack([r2, g2, b2], axis=-1) * 255.0, 0.0, 255.0)
 
 
