@@ -114,6 +114,39 @@ def torch_key_for_path(path: tuple, collection: str) -> str:
     return ".".join(comps + [leaf_name])
 
 
+def variables_to_torch_state_dict(variables: Mapping, prefix: str = "") -> Dict:
+    """Export a flax variable tree to a reference-format torch state_dict
+    (numpy arrays; pass through `torch.from_numpy` for `load_state_dict`).
+
+    Exact inverse of `torch_state_dict_to_variables` — kernels transpose
+    back to (O, I, kh, kw)/(out, in), batch_stats become running_mean/var,
+    and the reference's shared downsample norm (`downsample.1` IS `norm3`,
+    `extractor.py`) is re-emitted under both keys so a strict
+    `load_state_dict` on the reference model succeeds. Lets users move
+    checkpoints trained here back into the reference stack (and powers the
+    same-weights eval-protocol gate, `tests/test_trained_gates.py`)."""
+    sd = {}
+    for col, tree in variables.items():
+        flat = traverse_util.flatten_dict(tree)
+        for path, leaf in flat.items():
+            tkey = prefix + torch_key_for_path(path, col)
+            arr = np.asarray(leaf)
+            if path[-1] == "kernel" and arr.ndim == 4:
+                arr = arr.transpose(3, 2, 0, 1)
+            elif path[-1] == "kernel" and arr.ndim == 2:
+                arr = arr.transpose(1, 0)
+            sd[tkey] = arr
+    # shared downsample norm: duplicate norm3/norm4 under downsample.1
+    for k in [k for k in sd if k.endswith("downsample.0.weight")]:
+        base = k[: -len("downsample.0.weight")]
+        for norm in ("norm3", "norm4"):
+            for suf in ("weight", "bias", "running_mean", "running_var"):
+                nk = f"{base}{norm}.{suf}"
+                if nk in sd:
+                    sd[f"{base}downsample.1.{suf}"] = sd[nk]
+    return sd
+
+
 def torch_state_dict_to_variables(
     state_dict: Mapping[str, "object"],
     variables_template: Mapping,
