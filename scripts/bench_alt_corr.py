@@ -62,7 +62,8 @@ def run(h, w, alt, iters=12):
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "small"
-    shapes = {"small": [(436, 1024)], "large": [(768, 1536), (1080, 1920)]}[mode]
+    shapes = {"small": [(436, 1024)], "large": [(768, 1536), (1080, 1920)],
+              "huge": [(1440, 2560)]}[mode]
     for h, w in shapes:
         for alt in (False, True):
             try:
