@@ -129,8 +129,8 @@ def _tent_weights(pos: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - t))
 
 
-def _lookup_level_mxu(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int,
-                      dtype=jnp.bfloat16) -> jnp.ndarray:
+def _lookup_level_mxu_impl(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int,
+                           dtype=jnp.bfloat16) -> jnp.ndarray:
     """Gather-free window lookup: two batched tent-weight matmuls (MXU).
 
     out[q, i, j] = sum_{Y,X} tent(cx+d_i - X) * tent(cy+d_j - Y) * corr[q, Y, X]
@@ -159,6 +159,19 @@ def _lookup_level_mxu(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int,
     # out[b,q,i,j] = sum_y sy[b,q,j,y] * T[b,q,y,i]
     out = jnp.einsum("bqjy,bqyi->bqij", sy, t)
     return out.reshape(b, h1, w1, k * k).astype(jnp.float32)
+
+
+# In the training scan the (B, Q, K, H2/W2) tent operands would otherwise be
+# saved per iteration and re-read in the backward through layout-conversion
+# copies (~14 ms/step at chairs shapes, round-3 xprof); `dots_saveable` keeps
+# the MXU results and recomputes only the cheap elementwise tent builds.
+def _lookup_level_mxu(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int,
+                      dtype=jnp.bfloat16) -> jnp.ndarray:
+    fn = jax.checkpoint(
+        lambda c_l, co: _lookup_level_mxu_impl(c_l, co, radius, dtype),
+        policy=jax.checkpoint_policies.dots_saveable,
+    )
+    return fn(corr_l, coords)
 
 
 def _pool_sizes(h: int, w: int, num_levels: int):

@@ -25,21 +25,45 @@ def unfold3x3(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(shifts, axis=3)
 
 
+def _convex_upsample_impl(flow: jnp.ndarray, mask: jnp.ndarray, f: int) -> jnp.ndarray:
+    b, h, w, _ = flow.shape
+    # (B, H, W, 9, f*f): contiguous reshape of the (k, a, b) channel layout,
+    # keeping the f*f=64 subpixel axis MINOR — a 6-D (..., 9, 8, 8) softmax
+    # output forced XLA into tile-unfriendly layouts that cost ~35 ms/step of
+    # pure copies in the training scan (round-3 xprof, BENCH.md).
+    m = jax.nn.softmax(mask.reshape(b, h, w, 9, f * f), axis=3)
+
+    fp = jnp.pad(flow * float(f), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # 9-term FMA over the neighbors instead of stacking an unfold: each term
+    # broadcasts a (B, H, W, 1) shifted-flow component over the 64 subpixel
+    # lanes — one elementwise fusion, no (B, H, W, 9, 2) stack (whose 9
+    # (B,H,W,1,2) broadcast copies cost ~1.75 ms EACH in the scan body).
+    acc_x = jnp.zeros((b, h, w, f * f), m.dtype)
+    acc_y = jnp.zeros((b, h, w, f * f), m.dtype)
+    for k in range(9):
+        ki, kj = divmod(k, 3)
+        nb = fp[:, ki : ki + h, kj : kj + w, :]
+        wk = m[:, :, :, k, :]
+        acc_x = acc_x + wk * nb[..., 0:1]
+        acc_y = acc_y + wk * nb[..., 1:2]
+    up = jnp.stack([acc_x, acc_y], axis=-1)  # (B, H, W, f*f, 2)
+    up = up.reshape(b, h, w, f, f, 2).transpose(0, 1, 3, 2, 4, 5)
+    return up.reshape(b, f * h, f * w, 2)
+
+
 def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
     """Upsample (B, H, W, 2) flow to (B, 8H, 8W, 2) via learned convex weights.
 
     mask: (B, H, W, 9 * factor^2) raw logits, channel layout (k, a, b)
     row-major — identical to the torch reshape `view(N, 1, 9, 8, 8, H, W)` of
     an NCHW (N, 576, H, W) tensor.
-    """
-    b, h, w, _ = flow.shape
-    f = factor
-    m = mask.reshape(b, h, w, 9, f, f)
-    m = jax.nn.softmax(m, axis=3)
 
-    nb = unfold3x3(flow * float(f))  # (B, H, W, 9, 2)
-    up = jnp.einsum(
-        "nhwkuv,nhwkc->nhwuvc", m, nb, precision=jax.lax.Precision.HIGHEST
-    )  # (B, H, W, f, f, 2)
-    up = up.transpose(0, 1, 3, 2, 4, 5)  # (B, H, f, W, f, 2)
-    return up.reshape(b, f * h, f * w, 2)
+    Rematerialized (`jax.checkpoint`): inside the training scan the softmaxed
+    weights (39 MB/iteration at chairs shapes) would otherwise be stacked
+    across iterations and re-read in the backward through layout-conversion
+    copies (2x 10.5 ms/step, round-3 xprof); recomputing them from the saved
+    (flow, mask) inputs is a single cheap elementwise fusion.
+    """
+    return jax.checkpoint(_convex_upsample_impl, static_argnums=(2,))(
+        flow, mask, factor
+    )
