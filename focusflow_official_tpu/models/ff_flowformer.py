@@ -192,7 +192,7 @@ class MemoryEncoder(nn.Module):
                 "stack is never constructed (encoder.py:372-380)")
         cost_volume = _multi_head_cost_volume(f1, f2, self.cfg.cost_heads_num)
         return CostPerceiverEncoder(self.cfg, name="cost_perceiver_encoder",
-                                    dtype=d)(cost_volume, context)
+                                    dtype=d)(cost_volume.astype(d), context)
 
 
 class FusionMemoryEncoder(nn.Module):
@@ -204,15 +204,22 @@ class FusionMemoryEncoder(nn.Module):
     @nn.compact
     def __call__(self, img1, img2, mask1, mask2, context=None):
         d = self.dtype
-        enc = TwinsSVT2StageCCE(name="feat_encoder_svt", dtype=d)
-        f1 = enc(img1, mask1)
-        f2 = enc(img2, mask2)
-        conv = conv2d(self.cfg.encoder_latent_dim, 1, 1, 0, use_bias=False,
-                      name="channel_convertor", dtype=d)
-        f1, f2 = conv(f1), conv(f2)
+        # ONE batched pass over both frames (exact: every CCE-twins op —
+        # LN/attention/convs/fusion 1x1s — is per-sample); two sequential
+        # B=1 calls underfeed the MXU and double the tower's fixed costs
+        feats = TwinsSVT2StageCCE(name="feat_encoder_svt", dtype=d)(
+            jnp.concatenate([img1, img2], axis=0),
+            jnp.concatenate([mask1, mask2], axis=0),
+        )
+        feats = conv2d(self.cfg.encoder_latent_dim, 1, 1, 0, use_bias=False,
+                       name="channel_convertor", dtype=d)(feats)
+        f1, f2 = jnp.split(feats, 2, axis=0)
         cost_volume = _multi_head_cost_volume(f1, f2, self.cfg.cost_heads_num)
+        # store the O((HW)^2) volume in the compute dtype: the decoder reads
+        # it every iteration and the patch embed convolves all of it — f32
+        # storage doubles that HBM traffic (99 MB -> 198 MB at bench shapes)
         return CostPerceiverEncoder(self.cfg, name="cost_perceiver_encoder",
-                                    dtype=d)(cost_volume, context)
+                                    dtype=d)(cost_volume.astype(d), context)
 
 
 class MemoryDecoderStep(nn.Module):

@@ -36,16 +36,38 @@ def linear_position_embedding_sine(x: jnp.ndarray, dim: int,
 
 
 def _mha(q, k, v, heads: int, scale: float):
-    """MultiHeadAttention (`attention.py:38-63`): q (B,N,C), k/v (B,M,C)."""
+    """MultiHeadAttention (`attention.py:38-63`): q (B,N,C), k/v (B,M,C).
+
+    Two lowerings (round-3 xprof of the FlowFormer memory encoder):
+
+    - N <= 16 (the perceiver's latent-token attentions: 8 latent queries,
+      and the decoder's 1-query cross-attend, at batch B*H1W1 ~ 7k): the
+      einsum form becomes 56k batched (8x16)@(16x8) micro-dots — MXU feed
+      overhead and relayout copies cost ~2 ms/layer against a ~0.1 ms
+      floor. A broadcast-multiply-reduce keeps it one VPU loop fusion.
+    - otherwise: batched einsum with the head axis split IN PLACE — the
+      explicit head-major transposes cost ~0.7 ms each in relayout copies
+      on (7040, 112, 128)-shaped token tensors.
+    """
     b, n, c = q.shape
+    m = k.shape[1]
     hd = c // heads
-    qh = q.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)
-    kh = k.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
-    vh = v.reshape(b, -1, heads, v.shape[-1] // heads).transpose(0, 2, 1, 3)
-    attn = jnp.einsum("bhid,bhjd->bhij", qh, kh, precision=HIGH) * scale
+    vd = v.shape[-1] // heads
+    qh = q.reshape(b, n, heads, hd)
+    kh = k.reshape(b, m, heads, hd)
+    vh = v.reshape(b, m, heads, vd)
+    if n <= 16:
+        kht = kh.transpose(0, 2, 1, 3)  # (B, h, M, d) — small
+        vht = vh.transpose(0, 2, 1, 3)
+        s = jnp.sum(qh[:, :, :, None, :] * kht[:, None], axis=-1,
+                    dtype=jnp.float32)  # (B, N, h, M), M minor
+        p = jax.nn.softmax(s * scale, axis=-1).astype(vht.dtype)
+        out = jnp.sum(p[..., None] * vht[:, None], axis=3)  # (B, N, h, vd)
+        return out.reshape(b, n, -1)
+    attn = jnp.einsum("bihd,bjhd->bhij", qh, kh, precision=HIGH) * scale
     attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhij,bhjd->bhid", attn, vh, precision=HIGH)
-    return out.transpose(0, 2, 1, 3).reshape(b, n, -1)
+    out = jnp.einsum("bhij,bjhd->bihd", attn, vh, precision=HIGH)
+    return out.reshape(b, n, -1)
 
 
 class CostPatchEmbed(nn.Module):
@@ -94,8 +116,12 @@ class CostPatchEmbed(nn.Module):
         xp = nn.relu(xp)
         xp = nn.Conv(c2, (1, 1), dtype=d, param_dtype=jnp.float32, precision=HIGH,
                      name="ffn_with_coord_2")(xp)
-        xp = xp.reshape(b, -1, c2)
-        return _ln("norm", d, eps=1e-5)(xp), out_size
+        # LN on the NHWC form BEFORE the token flatten (same last-axis math):
+        # normalizing the flattened (B, h3*w3, C2) tensor made XLA bridge the
+        # conv layout and the LN layout with a 1.2 ms relayout copy at bench
+        # shapes (round-3 xprof)
+        xp = _ln("norm", d, eps=1e-5)(xp)
+        return xp.reshape(b, -1, c2), out_size
 
 
 class BroadCrossAttentionLayer(nn.Module):
@@ -327,7 +353,7 @@ class GlobalSubSampleAttnRPEContext(nn.Module):
         coord = coords_grid(1, hp, wp).reshape(1, hp * wp, 2)
         enc = linear_position_embedding_sine(coord, dim=c_qk).astype(d)
         q_in = x_qk.reshape(b, hp * wp, c_qk) + enc
-        q = _dense(c, "q", d)(q_in).reshape(b, hp * wp, nh, hd).transpose(0, 2, 1, 3)
+        q = _dense(c, "q", d)(q_in)
 
         if sr > 1:
             xk = nn.Conv(c, (sr, sr), strides=(sr, sr), dtype=d, param_dtype=jnp.float32,
@@ -342,13 +368,15 @@ class GlobalSubSampleAttnRPEContext(nn.Module):
 
         coord2 = coords_grid(1, hp // sr, wp // sr).reshape(1, -1, 2) * sr
         enc2 = linear_position_embedding_sine(coord2, dim=c).astype(d)
-        k = _dense(c, "k", d)(xk + enc2).reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
-        v = _dense(c, "v", d)(xv).reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+        k = _dense(c, "k", d)(xk + enc2)
+        v = _dense(c, "v", d)(xv)
 
-        attn = jnp.einsum("bhid,bhjd->bhij", q, k, precision=HIGH) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v, precision=HIGH)
-        out = out.transpose(0, 2, 1, 3).reshape(b, hp, wp, c)[:, :h, :w]
+        # fused single-pass attention (kernels/attention.py): kv is the
+        # sr-subsampled grid and fits VMEM whole
+        from ..kernels.attention import small_kv_attention
+
+        out = small_kv_attention(q, k, v, nh, scale)
+        out = out.reshape(b, hp, wp, c)[:, :h, :w]
         out = out.reshape(b, n, c)
         return _dense(c, "proj", d)(out)
 

@@ -116,7 +116,7 @@ class GlobalSubSampleAttn(nn.Module):
         hd = c // nh
         scale = hd**-0.5
 
-        q = _dense(c, "q", self.dtype)(x).reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+        q = _dense(c, "q", self.dtype)(x)
 
         if self.sr_ratio > 1:
             sr = self.sr_ratio
@@ -129,14 +129,15 @@ class GlobalSubSampleAttn(nn.Module):
             xs = x
         kv = _dense(2 * c, "kv", self.dtype)(xs)
         k, v = jnp.split(kv, 2, axis=-1)
-        m = k.shape[1]
-        k = k.reshape(b, m, nh, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, m, nh, hd).transpose(0, 2, 1, 3)
 
-        attn = jnp.einsum("bhid,bhjd->bhij", q, k, precision=HIGH) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v, precision=HIGH)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        # NOTE: the fused small-kv attention kernel was measured HERE and
+        # REJECTED (BENCH.md round 3): a Mosaic custom call inside the twins
+        # towers pins layouts around the full-res patch-embed/PEG convs and
+        # LN reduces, tripling the tower cost (context tower 4.6 -> 14.3 ms)
+        # for a ~1 ms attention win. XLA keeps the whole tower fused.
+        from ..kernels.attention import _xla_attention
+
+        out = _xla_attention(q, k, v, nh, scale)
         return _dense(c, "proj", self.dtype)(out)
 
 

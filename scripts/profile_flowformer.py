@@ -22,8 +22,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from focusflow_official_tpu.models.ff_flowformer import FFFlowFormer
-    from focusflow_official_tpu.models.config import FlowFormerConfig
+    from focusflow_official_tpu.models import FFFlowFormer, FlowFormerConfig
     from focusflow_official_tpu.ops.padding import InputPadder
 
     h, w = 436, 1024

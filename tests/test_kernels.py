@@ -102,3 +102,44 @@ class TestLocalCorrKernel:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-5)
+
+
+class TestFusedAttentionKernel:
+    """kernels/attention.py: single-pass small-kv attention."""
+
+    @pytest.mark.parametrize("b,n,m,c,heads", [
+        (2, 700, 28, 64, 8),    # n not a multiple of the block: pad path
+        (1, 512, 448, 128, 8),  # bench-like vertical-global shape (scaled)
+        (3, 100, 100, 96, 4),   # square attention, odd sizes
+    ])
+    def test_matches_xla(self, b, n, m, c, heads):
+        from focusflow_official_tpu.kernels.attention import (
+            _forward, _xla_attention)
+
+        q = jnp.asarray(RNG.randn(b, n, c).astype(np.float32))
+        k = jnp.asarray(RNG.randn(b, m, c).astype(np.float32))
+        v = jnp.asarray(RNG.randn(b, m, c).astype(np.float32))
+        scale = (c / heads) ** -0.5
+        want = np.asarray(_xla_attention(q, k, v, heads, scale))
+        got = np.asarray(_forward(q, k, v, heads, scale, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    def test_custom_vjp_matches_xla_grads(self):
+        from focusflow_official_tpu.kernels.attention import (
+            _attention_bwd, _xla_attention)
+
+        b, n, m, c, heads = 2, 40, 12, 32, 4
+        scale = (c / heads) ** -0.5
+        q = jnp.asarray(RNG.randn(b, n, c).astype(np.float32))
+        k = jnp.asarray(RNG.randn(b, m, c).astype(np.float32))
+        v = jnp.asarray(RNG.randn(b, m, c).astype(np.float32))
+        g = jnp.asarray(RNG.randn(b, n, c).astype(np.float32))
+
+        def loss(q, k, v):
+            return jnp.sum(_xla_attention(q, k, v, heads, scale) * g)
+
+        want = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        got = _attention_bwd(heads, scale, (q, k, v), g)
+        for w, o in zip(want, got):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(w),
+                                       atol=1e-4, rtol=1e-4)
