@@ -47,7 +47,8 @@ from ..nn.twins import HIGH, TwinsSVT2Stage, TwinsSVT2StageCCE, _dense, _ln
 from ..nn.blocks import conv2d
 from ..ops.coords import coords_grid
 from ..ops.corr import CorrPyramid, lookup_corr_pyramid
-from ..ops.upsample import convex_upsample
+from ..ops.upsample import (convex_upsample, convex_upsample_flat,
+                            depth_to_space_flow)
 from .mask_modal import init_mask
 
 
@@ -292,7 +293,8 @@ class MemoryDecoderStep(nn.Module):
         up_mask = up_mask.astype(jnp.float32)
 
         if self.emit_upsampled:
-            flow_up = convex_upsample(coords1 - coords0, up_mask)
+            # compact (B, H, W, 64, 2); depth-to-space once after the scan
+            flow_up = convex_upsample_flat(coords1 - coords0, up_mask)
         else:
             flow_up = jnp.zeros((), jnp.float32)  # test mode: upsample once after
         return (net, coords1, up_mask), flow_up
@@ -349,7 +351,7 @@ class MemoryDecoder(nn.Module):
         if test_mode:
             flow_up = convex_upsample(coords1 - coords0, up_mask)
             return flow_up, coords1 - coords0
-        return flows  # (decoder_depth, B, 8h, 8w, 2)
+        return depth_to_space_flow(flows)  # (decoder_depth, B, 8h, 8w, 2)
 
 
 class FlowFormer(nn.Module):

@@ -37,7 +37,8 @@ from ..ops.corr import (
     CorrPyramid, all_pairs_corr, corr_pyramid, lookup_corr_fused_chunks,
     lookup_corr_pyramid,
 )
-from ..ops.upsample import convex_upsample
+from ..ops.upsample import (convex_upsample, convex_upsample_flat,
+                            depth_to_space_flow)
 from .config import FFRaftConfig
 from .mask_modal import init_mask
 
@@ -93,6 +94,15 @@ class RAFTStep(nn.Module):
                 corr = lookup_corr_fused_chunks(
                     pyramid.levels[0], coords1, self.corr_radius,
                     num_levels=self.corr_levels, dtype=self.dtype)
+        elif self.corr_impl == "mxu" and self.corr_levels > 1:
+            # per-level MXU lookups emitted as query-space chunks: the motion
+            # encoder folds channel order + NHWC repack into its convc1
+            # kernel, same as the fused path (the per-level (B,Q,9,9) ->
+            # (B,H,W,81) reshapes cost ~5 ms/train-step, round-3 xprof)
+            from ..ops.corr import lookup_corr_mxu_chunks
+
+            pyramid = CorrPyramid(levels=levels, radius=self.corr_radius)
+            corr = lookup_corr_mxu_chunks(pyramid, coords1, dtype=self.dtype)
         else:
             pyramid = CorrPyramid(levels=levels, radius=self.corr_radius)
             corr = lookup_corr_pyramid(
@@ -124,8 +134,10 @@ class RAFTStep(nn.Module):
             flow_up = upflow8(coords1 - coords0) if self.emit_upsampled else None
         else:
             mask_state = up_mask.astype(jnp.float32)
+            # compact (B, H, W, 64, 2) form: the depth-to-space runs ONCE
+            # on the stacked iterations after the scan (see RAFT.__call__)
             flow_up = (
-                convex_upsample(coords1 - coords0, mask_state)
+                convex_upsample_flat(coords1 - coords0, mask_state)
                 if self.emit_upsampled
                 else None
             )
@@ -289,6 +301,8 @@ class RAFT(nn.Module):
             else:
                 flow_up = convex_upsample(flow_lr, mask_state)
             return flow_lr, flow_up
+        if not self.small:
+            flows = depth_to_space_flow(flows)  # one rearrange for all iters
         return flows  # (iters, B, 8h, 8w, 2)
 
 

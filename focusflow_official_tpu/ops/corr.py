@@ -156,22 +156,47 @@ def _lookup_level_mxu_impl(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int
     # here don't track minor-dim reasoning; keep the measured winner.
     # T[b,q,y,i] = sum_x corr[b,q,y,x] * sx[b,q,i,x]
     t = jnp.einsum("bqyx,bqix->bqyi", c, sx)
-    # out[b,q,i,j] = sum_y sy[b,q,j,y] * T[b,q,y,i]
-    out = jnp.einsum("bqjy,bqyi->bqij", sy, t)
-    return out.reshape(b, h1, w1, k * k).astype(jnp.float32)
+    # out[b,q,j,i] = sum_y sy[b,q,j,y] * T[b,q,y,i] — SAME (j slow, i fast)
+    # chunk order as `lookup_corr_fused_chunks`, consumable by
+    # `nn.update.ChunkFoldedConv1x1` without any activation repack
+    return jnp.einsum("bqjy,bqyi->bqji", sy, t)
 
 
 # In the training scan the (B, Q, K, H2/W2) tent operands would otherwise be
 # saved per iteration and re-read in the backward through layout-conversion
 # copies (~14 ms/step at chairs shapes, round-3 xprof); `dots_saveable` keeps
 # the MXU results and recomputes only the cheap elementwise tent builds.
-def _lookup_level_mxu(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int,
-                      dtype=jnp.bfloat16) -> jnp.ndarray:
+def _lookup_level_mxu_chunk(corr_l: jnp.ndarray, coords: jnp.ndarray,
+                            radius: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """One level's window lookup as a query-space (B, Q, Kj, Ki) chunk."""
     fn = jax.checkpoint(
         lambda c_l, co: _lookup_level_mxu_impl(c_l, co, radius, dtype),
         policy=jax.checkpoint_policies.dots_saveable,
     )
     return fn(corr_l, coords)
+
+
+def _lookup_level_mxu(corr_l: jnp.ndarray, coords: jnp.ndarray, radius: int,
+                      dtype=jnp.bfloat16) -> jnp.ndarray:
+    """NHWC (B, H1, W1, K*K) form, reference channel order i*K + j."""
+    b = corr_l.shape[0]
+    _, h1, w1, _ = coords.shape
+    k = 2 * radius + 1
+    out = _lookup_level_mxu_chunk(corr_l, coords, radius, dtype)
+    out = out.transpose(0, 1, 3, 2)  # (B, Q, Ki, Kj)
+    return out.reshape(b, h1, w1, k * k).astype(jnp.float32)
+
+
+def lookup_corr_mxu_chunks(pyramid: CorrPyramid, coords: jnp.ndarray,
+                           dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, ...]:
+    """Per-level MXU window lookups as query-space (B, Q, K, K) chunks —
+    the same chunk tuple `lookup_corr_fused_chunks` emits, consumed by
+    `nn.update.ChunkFoldedConv1x1` with zero activation repack (the
+    (B,Q,K,K)->(B,H,W,81) reshapes cost ~5 ms/train-step, round-3 xprof)."""
+    return tuple(
+        _lookup_level_mxu_chunk(corr_l, coords / (2.0**i), pyramid.radius, dtype)
+        for i, corr_l in enumerate(pyramid.levels)
+    )
 
 
 def _pool_sizes(h: int, w: int, num_levels: int):

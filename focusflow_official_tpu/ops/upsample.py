@@ -25,6 +25,21 @@ def unfold3x3(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(shifts, axis=3)
 
 
+def depth_to_space_flow(up: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
+    """(..., H, W, f*f, 2) -> (..., f*H, f*W, 2); subpixel index s = a*f + b.
+
+    Kept OUT of the refinement scan: per-iteration 6-D depth-to-space
+    transposes cost ~13 ms/step in layout copies (round-3 xprof); one big
+    rearrange over the stacked iterations is a single copy.
+    """
+    *lead, h, w, ff, c = up.shape
+    f = factor
+    up = up.reshape(*lead, h, w, f, f, c)
+    n = len(lead)
+    perm = tuple(range(n)) + (n, n + 2, n + 1, n + 3, n + 4)
+    return up.transpose(perm).reshape(*lead, f * h, f * w, c)
+
+
 def _convex_upsample_impl(flow: jnp.ndarray, mask: jnp.ndarray, f: int) -> jnp.ndarray:
     b, h, w, _ = flow.shape
     # (B, H, W, 9, f*f): contiguous reshape of the (k, a, b) channel layout,
@@ -46,17 +61,15 @@ def _convex_upsample_impl(flow: jnp.ndarray, mask: jnp.ndarray, f: int) -> jnp.n
         wk = m[:, :, :, k, :]
         acc_x = acc_x + wk * nb[..., 0:1]
         acc_y = acc_y + wk * nb[..., 1:2]
-    up = jnp.stack([acc_x, acc_y], axis=-1)  # (B, H, W, f*f, 2)
-    up = up.reshape(b, h, w, f, f, 2).transpose(0, 1, 3, 2, 4, 5)
-    return up.reshape(b, f * h, f * w, 2)
+    return jnp.stack([acc_x, acc_y], axis=-1)  # (B, H, W, f*f, 2)
 
 
-def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
-    """Upsample (B, H, W, 2) flow to (B, 8H, 8W, 2) via learned convex weights.
+def convex_upsample_flat(flow: jnp.ndarray, mask: jnp.ndarray,
+                         factor: int = 8) -> jnp.ndarray:
+    """`convex_upsample` without the final depth-to-space: (B, H, W, f*f, 2).
 
-    mask: (B, H, W, 9 * factor^2) raw logits, channel layout (k, a, b)
-    row-major — identical to the torch reshape `view(N, 1, 9, 8, 8, H, W)` of
-    an NCHW (N, 576, H, W) tensor.
+    The training scan emits this compact form and `depth_to_space_flow`
+    runs ONCE on the stacked iterations afterwards.
 
     Rematerialized (`jax.checkpoint`): inside the training scan the softmaxed
     weights (39 MB/iteration at chairs shapes) would otherwise be stacked
@@ -67,3 +80,13 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8) -> jn
     return jax.checkpoint(_convex_upsample_impl, static_argnums=(2,))(
         flow, mask, factor
     )
+
+
+def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
+    """Upsample (B, H, W, 2) flow to (B, 8H, 8W, 2) via learned convex weights.
+
+    mask: (B, H, W, 9 * factor^2) raw logits, channel layout (k, a, b)
+    row-major — identical to the torch reshape `view(N, 1, 9, 8, 8, H, W)` of
+    an NCHW (N, 576, H, W) tensor.
+    """
+    return depth_to_space_flow(convex_upsample_flat(flow, mask, factor), factor)
