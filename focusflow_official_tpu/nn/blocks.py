@@ -212,17 +212,18 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool = True,
-                 is_eval: bool | None = None) -> jnp.ndarray:
+                 is_eval: bool | None = None,
+                 row_chunks: tuple[int, int] | None = None) -> jnp.ndarray:
         d = self.dtype
         num_groups = self.planes // 8
         y = conv2d(self.planes, 3, self.stride, 1, name="conv1", dtype=d, in_features=self.in_planes)(x)
-        y = Norm(self.norm_fn, self.planes, num_groups, name="norm1", dtype=d)(y, use_running_average, fuse_relu=True, is_eval=is_eval)
+        y = Norm(self.norm_fn, self.planes, num_groups, name="norm1", dtype=d)(y, use_running_average, fuse_relu=True, is_eval=is_eval, row_chunks=row_chunks)
         y = conv2d(self.planes, 3, 1, 1, name="conv2", dtype=d, in_features=self.planes)(y)
-        y = Norm(self.norm_fn, self.planes, num_groups, name="norm2", dtype=d)(y, use_running_average, fuse_relu=True, is_eval=is_eval)
+        y = Norm(self.norm_fn, self.planes, num_groups, name="norm2", dtype=d)(y, use_running_average, fuse_relu=True, is_eval=is_eval, row_chunks=row_chunks)
 
         if self.stride != 1:
             x = conv2d(self.planes, 1, self.stride, 0, name="downsample_conv", dtype=d, in_features=self.in_planes)(x)
-            x = Norm(self.norm_fn, self.planes, num_groups, name="norm3", dtype=d)(x, use_running_average, is_eval=is_eval)
+            x = Norm(self.norm_fn, self.planes, num_groups, name="norm3", dtype=d)(x, use_running_average, is_eval=is_eval, row_chunks=row_chunks)
         return nn.relu(x + y)
 
 

@@ -13,12 +13,51 @@ in `train/surgery.py` rather than with in-module mutation.
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax.numpy as jnp
 
 from .blocks import ResidualBlock, TiledInputConv, conv2d, _stem
 from .fusion_units import FusionUnit
-from .norm import Norm
+from .norm import Norm, zero_virtual_rows
+
+# Manual space-to-batch for the stem+layer1 head (eval only): XLA's own
+# space-to-batch conv rewrite — worth 2.4x on the low-channel convs
+# (BENCH.md Finding 4) — is vetoed by the Pallas IN-stats custom call.
+# Chunking the rows OURSELVES with a 12-row halo gives the convs a big
+# batch without XLA's pass, and the instance norms compute exact global
+# stats from the disjoint chunk cores (`Norm(row_chunks=...)`), so no
+# custom call is needed in the chunked region at all.
+_HALO = 12  # input rows each side: stem 7x7/2 (3) + 4x conv3x3 at /2 (2*4), rounded even
+
+
+def _row_chunk_plan(h: int):
+    """Pick nc so H/2 splits into equal cores of 40-64 rows (then 20-39)."""
+    h2 = h // 2
+    for lo, hi in ((40, 65), (20, 40)):
+        for ch2 in range(lo, hi):
+            if h2 % ch2 == 0 and h2 // ch2 > 1:
+                return h2 // ch2
+    return None
+
+
+def _chunk_rows(x: jnp.ndarray, nc: int, halo: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nc, H/nc + 2*halo, W, C), zero-padded halos
+    (coincides with conv zero padding at the true image borders)."""
+    b, h, w, c = x.shape
+    ch = h // nc
+    xp = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    slabs = [xp[:, i * ch : i * ch + ch + 2 * halo] for i in range(nc)]
+    y = jnp.stack(slabs, axis=1)  # (B, nc, ch+2halo, W, C)
+    return y.reshape(b * nc, ch + 2 * halo, w, c)
+
+
+def _unchunk_rows(y: jnp.ndarray, b: int, nc: int, margin: int) -> jnp.ndarray:
+    """Crop the chunk margins and reassemble (B*nc, rows, W, C) -> (B, H', W, C)."""
+    bn, rows, w, c = y.shape
+    core = y[:, margin : rows - margin]
+    return core.reshape(b, nc * (rows - 2 * margin), w, c)
 
 
 class BasicParallelFusionLayer(nn.Module):
@@ -38,6 +77,23 @@ class BasicParallelFusionLayer(nn.Module):
         ev = not train
         ft = self.fusion_type
 
+        # Manual space-to-batch over the stem+layer1 head (see module top).
+        # Requires: eval (Pallas stats stays out of the train graph anyway),
+        # instance norms (the wall being worked around), a pixelwise fusion1
+        # (1x1conv; SA/CA pool spatially), and an evenly divisible height.
+        nc = _row_chunk_plan(x.shape[1])
+        chunked = (
+            ev and self.norm_fn == "instance" and ft == "1x1conv"
+            and nc is not None
+            and os.environ.get("FF_CHUNKED_FNET", "1") != "0"
+        )
+        b_in = x.shape[0]
+        rc = None
+        if chunked:
+            x = _chunk_rows(x, nc, _HALO)
+            mask = _chunk_rows(mask, nc, _HALO)
+            rc = (nc, _HALO // 2)  # margin halves through the stride-2 stem
+
         stem = _stem(d)
         if mask.shape[-1] == 1 and self.mask_channel != 1:
             # single-channel stand-in for a tiled mask: fold the tile into
@@ -46,19 +102,31 @@ class BasicParallelFusionLayer(nn.Module):
                                   name="mask_conv1", dtype=d)(mask)
         else:
             mask = stem(64, self.mask_channel, "mask_conv1")(mask)
-        mask = Norm(self.norm_fn, 64, 8, name="mask_norm1", dtype=d)(mask, ura, fuse_relu=True, is_eval=ev)
+        mask = Norm(self.norm_fn, 64, 8, name="mask_norm1", dtype=d)(mask, ura, fuse_relu=True, is_eval=ev, row_chunks=rc)
 
         x = stem(64, self.img_channel, "conv1")(x)
-        x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True, is_eval=ev)
+        x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True, is_eval=ev, row_chunks=rc)
 
         mask, x = FusionUnit(64, ft, True, name="fusion1", dtype=d)(mask, x)
+        if rc is not None:
+            # fusion's bias re-contaminates the image-border virtual rows;
+            # re-zero them so layer1's convs see the full-image zero padding
+            mask = zero_virtual_rows(mask, nc, rc[1])
+            x = zero_virtual_rows(x, nc, rc[1])
 
         dims = [(64, 64, 1), (64, 96, 2), (96, 128, 2)]
         for li, (cin, cout, stride) in enumerate(dims, start=1):
-            mask = ResidualBlock(cin, cout, self.norm_fn, stride, name=f"mask_layer{li}_0", dtype=d)(mask, ura, is_eval=ev)
-            mask = ResidualBlock(cout, cout, self.norm_fn, 1, name=f"mask_layer{li}_1", dtype=d)(mask, ura, is_eval=ev)
-            x = ResidualBlock(cin, cout, self.norm_fn, stride, name=f"layer{li}_0", dtype=d)(x, ura, is_eval=ev)
-            x = ResidualBlock(cout, cout, self.norm_fn, 1, name=f"layer{li}_1", dtype=d)(x, ura, is_eval=ev)
+            mask = ResidualBlock(cin, cout, self.norm_fn, stride, name=f"mask_layer{li}_0", dtype=d)(mask, ura, is_eval=ev, row_chunks=rc)
+            mask = ResidualBlock(cout, cout, self.norm_fn, 1, name=f"mask_layer{li}_1", dtype=d)(mask, ura, is_eval=ev, row_chunks=rc)
+            x = ResidualBlock(cin, cout, self.norm_fn, stride, name=f"layer{li}_0", dtype=d)(x, ura, is_eval=ev, row_chunks=rc)
+            x = ResidualBlock(cout, cout, self.norm_fn, 1, name=f"layer{li}_1", dtype=d)(x, ura, is_eval=ev, row_chunks=rc)
+            if rc is not None and li == 1:
+                # the 12-row input halo is exactly consumed by stem (3 input
+                # rows) + layer1's four 3x3 convs (4 rows at /2): the chunk
+                # cores are exact here — reassemble before the strided layers
+                mask = _unchunk_rows(mask, b_in, nc, rc[1])
+                x = _unchunk_rows(x, b_in, nc, rc[1])
+                rc = None
             mask, x = FusionUnit(cout, ft, True, name=f"fusion{li + 1}", dtype=d)(mask, x)
 
         mask = conv2d(self.output_dim, 1, 1, 0, name="mask_conv2", dtype=d, in_features=128)(mask)

@@ -48,6 +48,22 @@ def _pallas_in_ok() -> bool:
         return False
 
 
+def zero_virtual_rows(x: jnp.ndarray, nc: int, margin: int) -> jnp.ndarray:
+    """Zero the rows of a row-chunked (B*nc, rows, W, C) tensor that lie
+    OUTSIDE the true image: the first `margin` rows of each image's slab 0
+    and the last `margin` rows of its slab nc-1. The full-image conv chain
+    zero-pads at the image border before every spatial conv; chunked slabs
+    must show those convs the same zeros or the border rows diverge
+    (interior slab margins keep real neighbor data and are untouched).
+    Pure elementwise select — XLA fuses it into the surrounding chain."""
+    bn, rows = x.shape[0], x.shape[1]
+    slab = jax.lax.broadcasted_iota(jnp.int32, (bn, rows), 0) % nc
+    row = jax.lax.broadcasted_iota(jnp.int32, (bn, rows), 1)
+    virtual = ((slab == 0) & (row < margin)) | (
+        (slab == nc - 1) & (row >= rows - margin))
+    return jnp.where(virtual[:, :, None, None], jnp.zeros((), x.dtype), x)
+
+
 class Norm(nn.Module):
     kind: str  # 'group' | 'batch' | 'instance' | 'none'
     features: int
@@ -58,7 +74,8 @@ class Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool = True,
-                 fuse_relu: bool = False, is_eval: bool | None = None) -> jnp.ndarray:
+                 fuse_relu: bool = False, is_eval: bool | None = None,
+                 row_chunks: tuple[int, int] | None = None) -> jnp.ndarray:
         """fuse_relu: apply the block's trailing ReLU inside the norm — the
         Pallas instance-norm kernel folds it into its normalize pass; for
         the other kinds XLA fuses the elementwise chain anyway.
@@ -70,10 +87,37 @@ class Norm(nn.Module):
         ura=(not train) or freeze_bn, and freeze_bn is true for every
         post-chairs TRAINING stage, so ura alone cannot distinguish
         training from eval. Defaults to use_running_average for callers
-        where the two coincide (no freeze_bn in play)."""
+        where the two coincide (no freeze_bn in play).
+
+        row_chunks: (nc, margin) when x arrives row-chunked as
+        (B*nc, rows, W, C) with `margin` overlap rows on each side
+        (`cce.py` manual space-to-batch). Instance stats are then computed
+        EXACTLY from the disjoint core rows and combined across each
+        image's nc chunks; the normalize applies to the whole chunk
+        (margins get the same global stats the true rows would)."""
         kind = self.kind
         if is_eval is None:
             is_eval = use_running_average
+        if row_chunks is not None and kind == "instance":
+            nc, margin = row_chunks
+            bn, rows, w, _ = x.shape
+            b = bn // nc
+            core = x[:, margin : rows - margin]
+            s1 = jnp.sum(core, axis=(1, 2), dtype=jnp.float32)  # (B*nc, C)
+            s2 = jnp.sum(core * core, axis=(1, 2), dtype=jnp.float32)
+            s1 = s1.reshape(b, nc, -1).sum(axis=1)
+            s2 = s2.reshape(b, nc, -1).sum(axis=1)
+            count = nc * core.shape[1] * w
+            mean = s1 / count
+            var = jnp.maximum(s2 / count - mean * mean, 0.0)
+            inv = jax.lax.rsqrt(var + self.epsilon)
+            d_ = self.dtype
+            mean_b = jnp.repeat(mean.astype(d_), nc, axis=0)[:, None, None, :]
+            inv_b = jnp.repeat(inv.astype(d_), nc, axis=0)[:, None, None, :]
+            out = ((x - mean_b) * inv_b).astype(d_)
+            out = nn.relu(out) if fuse_relu else out
+            # keep image-border virtual rows zero for the next spatial conv
+            return zero_virtual_rows(out, nc, margin)
         if kind == "none":
             return nn.relu(x) if fuse_relu else x
         c = self.features

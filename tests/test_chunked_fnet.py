@@ -1,0 +1,75 @@
+"""Manual space-to-batch (row-chunked) CCE head must be exact.
+
+The eval-time fnet chunks input rows into (B*nc) slabs with a 12-row halo
+so the low-channel stem+layer1 convs run with a large batch (the
+space-to-batch win XLA's own pass is vetoed out of by the Pallas IN-stats
+custom call — BENCH.md round 3). Chunking must be invisible: instance
+stats are combined exactly across slab cores, image-border virtual rows
+are re-zeroed before every spatial conv, and the reassembled output must
+match the unchunked path to f32 accumulation noise.
+
+Reference semantics: `parallel_fusion.py:153-274` (single full-image
+pass; chunking is a TPU-only execution detail, not a model change).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focusflow_official_tpu.nn.cce import (
+    BasicParallelFusionLayer,
+    _row_chunk_plan,
+)
+
+
+def _run(m, v, x, mask, chunked):
+    os.environ["FF_CHUNKED_FNET"] = "1" if chunked else "0"
+    try:
+        return m.apply(v, x, mask, train=False)
+    finally:
+        os.environ.pop("FF_CHUNKED_FNET", None)
+
+
+@pytest.mark.parametrize("h,w", [(160, 96), (440, 64)])
+def test_chunked_cce_matches_unchunked(h, w):
+    nc = _row_chunk_plan(h)
+    assert nc is not None and nc > 1  # the shape must actually chunk
+
+    m = BasicParallelFusionLayer(
+        norm_fn="instance", fusion_type="1x1conv", dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, 3)) * 50.0
+    mask = jax.random.normal(jax.random.PRNGKey(2), (2, h, w, 3)) * 50.0
+    v = m.init(jax.random.PRNGKey(0), x, mask, train=False)
+
+    ref = _run(m, v, x, mask, chunked=False)
+    out = _run(m, v, x, mask, chunked=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=2e-3)
+
+
+def test_chunked_gate_requires_instance_and_pixelwise_fusion():
+    # batch norm / SA fusion must NOT take the chunked path (stats and
+    # spatial pooling semantics differ) — outputs must be identical with
+    # the env var either way.
+    for norm_fn, ft in [("batch", "1x1conv"), ("instance", "SA")]:
+        m = BasicParallelFusionLayer(
+            norm_fn=norm_fn, fusion_type=ft, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 160, 64, 3))
+        mask = jax.random.normal(jax.random.PRNGKey(2), (1, 160, 64, 3))
+        v = m.init(jax.random.PRNGKey(0), x, mask, train=False)
+        a = _run(m, v, x, mask, chunked=True)
+        b = _run(m, v, x, mask, chunked=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chunk_plan_divisibility():
+    # bench shape 440 -> a real multi-slab plan; indivisible heights opt out
+    assert _row_chunk_plan(440) == 5
+    assert _row_chunk_plan(446) is None  # 223 is prime
+    for h in (160, 200, 320, 440, 480, 768):
+        nc = _row_chunk_plan(h)
+        if nc is not None:
+            assert (h // 2) % nc == 0 and nc > 1
