@@ -29,6 +29,13 @@ import pytest
 REFERENCE_ROOT = "/root/reference"
 
 
+def pytest_configure(config):
+    # `-m "not slow"` is the quick dev loop (~1/3 wall); the FULL suite
+    # (default, no -m filter) remains the green gate the driver runs.
+    config.addinivalue_line(
+        "markers", "slow: multi-minute end-to-end parity/training suites")
+
+
 def has_reference() -> bool:
     return os.path.isdir(os.path.join(REFERENCE_ROOT, "core"))
 

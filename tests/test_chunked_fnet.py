@@ -65,6 +65,34 @@ def test_chunked_gate_requires_instance_and_pixelwise_fusion():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_chunked_cce_under_batch_sharded_mesh():
+    """The B -> B*nc chunk reshape must survive GSPMD with the batch axis
+    sharded over 8 data-parallel devices (the multi-chip eval path):
+    sharded+chunked output == single-device unchunked, to chunk tolerance."""
+    from focusflow_official_tpu.train.mesh import make_mesh, put_batch, replicate
+
+    h, w, b = 160, 64, 8
+    m = BasicParallelFusionLayer(
+        norm_fn="instance", fusion_type="1x1conv", dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, 3)) * 50.0
+    mask = jax.random.normal(jax.random.PRNGKey(2), (b, h, w, 3)) * 50.0
+    v = m.init(jax.random.PRNGKey(0), x, mask, train=False)
+
+    want = _run(m, v, x, mask, chunked=False)
+
+    mesh = make_mesh(jax.devices()[:8])
+    batch = put_batch({"x": np.asarray(x), "mask": np.asarray(mask)}, mesh)
+    v_r = jax.device_put(v, replicate(mesh))
+    os.environ["FF_CHUNKED_FNET"] = "1"
+    try:
+        got = jax.jit(lambda vv, xx, mm: m.apply(vv, xx, mm, train=False))(
+            v_r, batch["x"], batch["mask"])
+    finally:
+        os.environ.pop("FF_CHUNKED_FNET", None)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=2e-3)
+
+
 def test_chunk_plan_divisibility():
     # bench shape 440 -> a real multi-slab plan; indivisible heights opt out
     assert _row_chunk_plan(440) == 5

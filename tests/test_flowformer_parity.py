@@ -30,6 +30,8 @@ from focusflow_official_tpu.models.ff_flowformer import (
     FlowFormerConfig,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute suite; -m 'not slow' skips
+
 RNG = np.random.RandomState(11)
 DEPTH = 3  # decoder iterations under test (full model runs 12)
 

@@ -17,6 +17,8 @@ from focusflow_official_tpu.train.mesh import make_mesh, put_batch, replicate
 from focusflow_official_tpu.train.schedule import one_cycle_lr
 from focusflow_official_tpu.train.surgery import copy_to_branch, freeze_mask_for_parallel
 
+pytestmark = pytest.mark.slow  # multi-minute suite; -m 'not slow' skips
+
 RNG = np.random.RandomState(5)
 
 

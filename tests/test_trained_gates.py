@@ -21,6 +21,8 @@ from flax import traverse_util
 
 from focusflow_official_tpu.models import FFRaft, FFRaftConfig
 
+pytestmark = pytest.mark.slow  # multi-minute suite; -m 'not slow' skips
+
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "trained_smoke.npz")
 

@@ -29,6 +29,8 @@ from focusflow_official_tpu.train.loop import (
 )
 from focusflow_official_tpu.train.schedule import one_cycle_lr
 
+pytestmark = pytest.mark.slow  # multi-minute suite; -m 'not slow' skips
+
 STEPS = 50
 ITERS = 2
 H, W = 128, 160  # reference NaNs below 128 px (1x1 corr-pyramid level)
