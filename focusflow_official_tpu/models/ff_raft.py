@@ -73,6 +73,14 @@ class RAFTStep(nn.Module):
                 fmap1, fmap2, coords1, self.corr_radius,
                 num_levels=self.corr_levels, chunk=self.alt_corr_chunk,
                 dtype=self.dtype)
+        elif (self.corr_impl == "fused" and self.corr_levels > 1
+              and len(levels) == 2 and levels[0].dtype == jnp.int8):
+            # FF_CORR_Q8 eval path: `levels` carries (int8 volume, row scale)
+            from ..ops.corr import lookup_corr_fused_chunks_q8
+
+            corr = lookup_corr_fused_chunks_q8(
+                levels[0], levels[1], coords1, self.corr_radius,
+                num_levels=self.corr_levels, dtype=self.dtype)
         elif self.corr_impl == "fused" and self.corr_levels > 1:
             pyramid = CorrPyramid(levels=levels, radius=self.corr_radius)
             # chunked fused lookup: per-level (B, Q, K, K) query-space
@@ -238,8 +246,22 @@ class RAFT(nn.Module):
 
             corr0 = shard_queries(corr0, axis=1)
             fused = impl == "fused" and corr_levels > 1
-            pyramid = corr_pyramid(corr0, corr_levels, corr_radius, fused=fused)
-            scan_levels = pyramid.levels
+            import os as _os
+
+            if (fused and not train
+                    and _os.environ.get("FF_CORR_Q8", "0") == "1"):
+                # opt-in int8 volume (eval only): per-row quantization once
+                # per forward; stage 1 of every iteration's lookup then
+                # reads half the HBM bytes (ops/corr.py::quantize_corr_q8)
+                from ..ops.corr import quantize_corr_q8
+
+                c_i8, c_scale = quantize_corr_q8(corr0.astype(jnp.float32))
+                scan_levels = (shard_queries(c_i8, axis=1),
+                               shard_queries(c_scale, axis=1))
+            else:
+                pyramid = corr_pyramid(corr0, corr_levels, corr_radius,
+                                       fused=fused)
+                scan_levels = pyramid.levels
 
         # ---- context network
         cnet_norm = "none" if self.small else "batch"

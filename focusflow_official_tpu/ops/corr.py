@@ -399,6 +399,102 @@ def lookup_corr_fused_chunks(
     return tuple(chunks)
 
 
+def quantize_corr_q8(corr0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-query-row int8 quantization of the all-pairs volume.
+
+    Returns (c_i8 (B,Q,H2,W2) int8, scale (B,Q) f32) with
+    corr ~= c_i8 * scale. Per-ROW scales keep the error relative to each
+    query's own correlation range (a global scale would drown low-energy
+    rows). The volume is stage 1's dominant HBM traffic (~99 MB/iteration
+    bf16 at bench shapes); int8 halves it IF the stage-1 dot lowers to the
+    MXU's native int8 path (measured on TPU before defaulting — this is
+    the opt-in `FF_CORR_Q8` experiment).
+    """
+    amax = jnp.max(jnp.abs(corr0), axis=(2, 3))  # (B, Q) f32
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.round(corr0 / scale[:, :, None, None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def _block_tent_weights_unscaled(pos: jnp.ndarray, level: int, size0: int,
+                                 size_l: int) -> jnp.ndarray:
+    """`_block_tent_weights` WITHOUT the 2^-level averaging factor —
+    values stay in [0, 1] so int8 quantization keeps full resolution at
+    every level; the 2^-level factor (an exact power of two) is folded
+    into the stage-2 sy operand instead."""
+    y = jnp.arange(size0, dtype=jnp.int32)
+    yb = (y >> level).astype(jnp.float32)
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - yb))
+    if size_l << level < size0:
+        tent = tent * (y < (size_l << level))
+    return tent
+
+
+def lookup_corr_fused_chunks_q8(
+    corr_i8: jnp.ndarray,
+    scale: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int,
+    num_levels: int = 4,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, ...]:
+    """`lookup_corr_fused_chunks` on an int8-quantized volume.
+
+    Stage 1 runs int8 x int8 -> s32 (both operands quantized: the x tents
+    are stored UNSCALED in [0,1] at 1/127 resolution, their 2^-level factor
+    moves to stage 2 where multiplying bf16 by a power of two is exact).
+    Stage 2 keeps bf16 MXU dots; the combined dequant factor
+    scale[b,q] / 127 (the row max's /127 lives inside scale) lands as one
+    fused per-chunk multiply.
+
+    Error budget: tent quantization ~0.5/127 per tap over 2*2^l taps and
+    row-relative volume quantization ~1/254 — ~1% of each row's max
+    correlation end-to-end, validated in `tests/test_corr.py`. Eval-only
+    by construction (wired behind FF_CORR_Q8 for non-train forwards).
+    """
+    b, q, h2, w2 = corr_i8.shape
+    k = 2 * radius + 1
+    sizes = _pool_sizes(h2, w2, num_levels)
+
+    d = jnp.linspace(-radius, radius, k, dtype=jnp.float32)
+    cx = coords[..., 0].reshape(b, q)
+    cy = coords[..., 1].reshape(b, q)
+
+    sx_all = jnp.concatenate(
+        [
+            _block_tent_weights_unscaled(cx[..., None] / (2.0 ** l) + d, l, w2, wl)
+            for l, (_, wl) in enumerate(sizes)
+        ],
+        axis=-2,
+    )  # (B, Q, L*K, W2) in [0, 1]
+    sx_i8 = jnp.round(sx_all * 127.0).astype(jnp.int8)
+    sy_all = jnp.concatenate(
+        [
+            _block_tent_weights_t(cy[..., None] / (2.0 ** l) + d, l, h2, hl)
+            for l, (hl, _) in enumerate(sizes)
+        ],
+        axis=-1,
+    ).astype(dtype)  # (B, Q, H2, L*K), carries its own 2^-l
+
+    # stage 1 (MXU int8): t[b,q,y,(l,i)] = sum_x c_i8 * sx_i8  (s32 accum)
+    t = jnp.einsum("bqyx,bqix->bqyi", corr_i8, sx_i8,
+                   preferred_element_type=jnp.int32)
+    t = t.astype(dtype)  # |t| <= 127^2 * 2^(l+1) ~ 2.6e5: bf16 rel err 0.4%
+
+    # corr ~= c_i8 * scale (the /127 row normalization is INSIDE scale);
+    # sx ~= sx_i8 / 127 — so exactly one 1/127 here
+    deq = (scale / 127.0)[:, :, None, None]  # (B, Q, 1, 1) f32
+    chunks = []
+    for l in range(num_levels):
+        o = jnp.einsum("bqyj,bqyi->bqji",
+                       sy_all[:, :, :, l * k:(l + 1) * k] * (2.0 ** -l),
+                       t[:, :, :, l * k:(l + 1) * k],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        chunks.append(o * deq)
+    return tuple(chunks)
+
+
 def lookup_corr_fused_packed(
     corr0: jnp.ndarray,
     coords: jnp.ndarray,

@@ -112,6 +112,27 @@ class TestFusedLookup:
         np.testing.assert_allclose(got, _xla_reference(f1, f2, coords),
                                    atol=2e-4, rtol=1e-4)
 
+    def test_q8_chunks_within_quantization_budget(self):
+        """int8-volume lookup (`FF_CORR_Q8` path) matches the exact chunked
+        form within its documented ~1%-of-row-max error budget."""
+        from focusflow_official_tpu.ops.corr import (
+            lookup_corr_fused_chunks, lookup_corr_fused_chunks_q8,
+            quantize_corr_q8,
+        )
+
+        f1, f2, coords = _toy_problem()
+        corr0 = all_pairs_corr(f1, f2)
+        want = lookup_corr_fused_chunks(corr0, coords, 4, 4, dtype=jnp.float32)
+        c_i8, scale = quantize_corr_q8(corr0)
+        assert c_i8.dtype == jnp.int8 and scale.shape == corr0.shape[:2]
+        got = lookup_corr_fused_chunks_q8(c_i8, scale, coords, 4, 4,
+                                          dtype=jnp.float32)
+        row_max = np.asarray(scale) * 127.0  # (B, Q) per-row |corr| max
+        for lvl, (g, w) in enumerate(zip(got, want)):
+            err = np.abs(np.asarray(g) - np.asarray(w))
+            rel = err / (row_max[:, :, None, None] + 1e-12)
+            assert rel.max() < 0.02, (lvl, rel.max())
+
     def test_packed_matches_fused_and_xla(self):
         """The VPU-stage-2 packed form equals the monolithic fused form and
         the gather reference after the static packed->reference permutation."""
