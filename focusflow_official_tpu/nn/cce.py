@@ -33,8 +33,15 @@ _HALO = 12  # input rows each side: stem 7x7/2 (3) + 4x conv3x3 at /2 (2*4), rou
 
 
 def _row_chunk_plan(h: int):
-    """Pick nc so H/2 splits into equal cores of 40-64 rows (then 20-39)."""
+    """Pick nc so H/2 splits into equal cores of 40-64 rows (then 20-39).
+
+    FF_CHUNK_NC forces a specific chunk count (perf experiments only;
+    rejected if it doesn't divide H/2)."""
     h2 = h // 2
+    forced = os.environ.get("FF_CHUNK_NC")
+    if forced:
+        nc = int(forced)
+        return nc if nc > 1 and h2 % nc == 0 else None
     for lo, hi in ((40, 65), (20, 40)):
         for ch2 in range(lo, hi):
             if h2 % ch2 == 0 and h2 // ch2 > 1:
