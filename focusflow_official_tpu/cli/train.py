@@ -130,24 +130,24 @@ def train(args) -> int:
     mask_root = mask_roots(data_root)
     stage = cfg.TRAIN.STAGE
     train_ds = "C+T+S" if stage == "sintel" else None
+    dataset = fetch_dataset(
+        data_root, mask_root, stage=stage,
+        image_size=tuple(cfg.TRAIN.IMAGE_SIZE), mask_type=cfg.TRAIN.MASK_TYPE,
+        train_ds=train_ds, seed=seed, no_aug=args.device_aug,
+    )
     device_aug = None
     if args.device_aug:
         # on-device augmentation (data/device_aug.py): the loader ships RAW
         # frames, the jit'd step does jitter/eraser/warp/crop — the single
-        # host core caps the CPU augmentor at ~15 samples/s (BENCH.md r3)
+        # host core caps the CPU augmentor at ~15 samples/s (BENCH.md r3).
+        # Every stage attaches its recipe table (dense and, for the
+        # sintel/kitti mixes, sparse rows dispatched per sample).
         from ..data.device_aug import DeviceFlowAugmentor
 
-        scales = {"chairs": (-0.1, 1.0), "things": (-0.4, 0.8)}
-        if stage not in scales:
-            raise SystemExit(f"--device-aug supports stages {list(scales)}; "
-                             f"stage={stage} needs per-sample recipes")
+        recipes = getattr(dataset, "device_recipes", None)
+        assert recipes, f"stage {stage} attached no device recipes"
         device_aug = DeviceFlowAugmentor(
-            tuple(cfg.TRAIN.IMAGE_SIZE), *scales[stage], do_flip=True)
-    dataset = fetch_dataset(
-        data_root, mask_root, stage=stage,
-        image_size=tuple(cfg.TRAIN.IMAGE_SIZE), mask_type=cfg.TRAIN.MASK_TYPE,
-        train_ds=train_ds, seed=seed, no_aug=device_aug is not None,
-    )
+            tuple(cfg.TRAIN.IMAGE_SIZE), recipes=recipes)
     # round the global batch up to a device multiple so the leading axis
     # shards evenly over the mesh (the reference's BATCH_SIZE//world_size
     # silently drops the remainder instead — `core/datasets.py:306`)
@@ -317,8 +317,9 @@ def main():
                         choices=["auto", "xla", "mxu", "fused", "pallas"])
     parser.add_argument("--val-freq", type=int, default=5000)
     parser.add_argument("--device-aug", action="store_true",
-                        help="run the augmentation recipe inside the jit'd "
-                             "step (raw-frame loader; chairs/things stages)")
+                        help="run the augmentation recipes inside the jit'd "
+                             "step (raw-frame loader; all training stages — "
+                             "mixed stages dispatch dense/sparse per sample)")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace into this dir")
     parser.add_argument("--profile-start", type=int, default=10)

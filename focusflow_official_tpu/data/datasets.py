@@ -252,6 +252,24 @@ class WeightedConcat:
         return ds[(index - self._offsets[part]) % len(ds)]
 
 
+class RecipeTagged:
+    """Raw-sample wrapper for the on-device augmentation path: adds the
+    per-sample `recipe` index (row into the `device_recipes` table the
+    stage builder attaches — `data/device_aug.py` recipe dispatch)."""
+
+    def __init__(self, dataset, recipe_id: int):
+        self.dataset = dataset
+        self.recipe_id = recipe_id
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index):
+        s = self.dataset[index]
+        s["recipe"] = np.int32(self.recipe_id)
+        return s
+
+
 def fetch_dataset(data_root: Dict[str, str], mask_root: Dict[str, str], *,
                   stage: str, image_size, mask_type: str = "orb",
                   train_ds: Optional[str] = "C+T+S", seed: Optional[int] = 0,
@@ -259,14 +277,22 @@ def fetch_dataset(data_root: Dict[str, str], mask_root: Dict[str, str], *,
     """Stage-curriculum dataset builder (`core/datasets.py:257-301`).
 
     no_aug=True returns RAW full-resolution samples (the on-device
-    augmentation path, `data/device_aug.py`, applies the same recipe inside
-    the jit'd train step); only the homogeneous-resolution chairs/things
-    stages support it so far."""
+    augmentation path, `data/device_aug.py`, applies the same recipes
+    inside the jit'd train step). Mixed stages attach a `device_recipes`
+    table and tag every sample with its source dataset's recipe index;
+    the loader pads heterogeneous resolutions to the batch max and ships
+    true `sizes` alongside."""
+    from .device_aug import dense_recipe, sparse_recipe
+
     if stage == "chairs":
         aug = None if no_aug else dict(
             crop_size=image_size, min_scale=-0.1, max_scale=1.0, do_flip=True)
-        return FlyingChairs(data_root["chairs"], mask_root["chairs"], aug,
-                            split="training", mask_type=mask_type, seed=seed)
+        ds = FlyingChairs(data_root["chairs"], mask_root["chairs"], aug,
+                          split="training", mask_type=mask_type, seed=seed)
+        if no_aug:
+            ds = RecipeTagged(ds, 0)
+            ds.device_recipes = [dense_recipe(-0.1, 1.0, do_flip=True)]
+        return ds
 
     if stage == "things":
         if no_aug:
@@ -277,44 +303,72 @@ def fetch_dataset(data_root: Dict[str, str], mask_root: Dict[str, str], *,
                                dstype="frames_cleanpass", mask_type=mask_type, seed=seed)
         final = FlyingThings3D(data_root["things"], mask_root["things"], aug,
                                dstype="frames_finalpass", mask_type=mask_type, seed=seed)
+        if no_aug:
+            ds = WeightedConcat([(RecipeTagged(clean, 0), 1),
+                                 (RecipeTagged(final, 0), 1)])
+            ds.device_recipes = [dense_recipe(-0.4, 0.8, do_flip=True)]
+            return ds
         return WeightedConcat([(clean, 1), (final, 1)])
 
     if stage == "sintel":
-        if no_aug:
-            raise NotImplementedError(
-                "device-aug supports the chairs/things stages (mixed-dataset "
-                "stages need per-sample recipes)")
-        aug = dict(crop_size=image_size, min_scale=-0.2, max_scale=0.6, do_flip=True)
+        aug = (None if no_aug else
+               dict(crop_size=image_size, min_scale=-0.2, max_scale=0.6, do_flip=True))
         clean = MpiSintel(data_root["sintel"], mask_root["sintel"], aug,
                           dstype="clean", mask_type=mask_type, seed=seed)
         final = MpiSintel(data_root["sintel"], mask_root["sintel"], aug,
                           dstype="final", mask_type=mask_type, seed=seed)
+        dense06 = dense_recipe(-0.2, 0.6, do_flip=True)
         if train_ds is None:
+            if no_aug:
+                ds = WeightedConcat([(RecipeTagged(clean, 0), 1),
+                                     (RecipeTagged(final, 0), 1)])
+                ds.device_recipes = [dense06]
+                return ds
             return WeightedConcat([(clean, 1), (final, 1)])
         things = FlyingThings3D(data_root["things"], mask_root["things"], aug,
                                 dstype="frames_cleanpass", mask_type=mask_type, seed=seed)
         if train_ds == "C+T+S":
+            if no_aug:
+                ds = WeightedConcat([(RecipeTagged(clean, 0), 100),
+                                     (RecipeTagged(final, 0), 100),
+                                     (RecipeTagged(things, 0), 1)])
+                ds.device_recipes = [dense06]
+                return ds
             return WeightedConcat([(clean, 100), (final, 100), (things, 1)])
         if train_ds == "C+T+S+K":
-            kaug = dict(crop_size=image_size, min_scale=-0.3, max_scale=0.5, do_flip=True)
+            kaug = (None if no_aug else
+                    dict(crop_size=image_size, min_scale=-0.3, max_scale=0.5, do_flip=True))
             kitti = KITTI(data_root["kitti"], mask_root["kitti"], kaug,
                           split="training", mask_type=mask_type, seed=seed)
+            if no_aug:
+                ds = WeightedConcat([(RecipeTagged(things, 0), 1),
+                                     (RecipeTagged(clean, 0), 100),
+                                     (RecipeTagged(final, 0), 100),
+                                     (RecipeTagged(kitti, 1), 200)])
+                ds.device_recipes = [dense06,
+                                     sparse_recipe(-0.3, 0.5, do_flip=True)]
+                return ds
             return WeightedConcat([(things, 1), (clean, 100), (final, 100), (kitti, 200)])
         raise ValueError(train_ds)
 
     if stage == "kitti":
-        if no_aug:
-            raise NotImplementedError(
-                "device-aug supports the chairs/things stages (mixed-dataset "
-                "stages need per-sample recipes)")
-        saug = dict(crop_size=image_size, min_scale=-0.2, max_scale=0.6, do_flip=True)
+        saug = (None if no_aug else
+                dict(crop_size=image_size, min_scale=-0.2, max_scale=0.6, do_flip=True))
         clean = MpiSintel(data_root["sintel"], mask_root["sintel"], saug,
                           dstype="clean", mask_type=mask_type, seed=seed)
         final = MpiSintel(data_root["sintel"], mask_root["sintel"], saug,
                           dstype="final", mask_type=mask_type, seed=seed)
-        kaug = dict(crop_size=image_size, min_scale=-0.3, max_scale=0.5, do_flip=True)
+        kaug = (None if no_aug else
+                dict(crop_size=image_size, min_scale=-0.3, max_scale=0.5, do_flip=True))
         kitti = KITTI(data_root["kitti"], mask_root["kitti"], kaug,
                       split="training", mask_type=mask_type, seed=seed)
+        if no_aug:
+            ds = WeightedConcat([(RecipeTagged(clean, 0), 100),
+                                 (RecipeTagged(final, 0), 100),
+                                 (RecipeTagged(kitti, 1), 200)])
+            ds.device_recipes = [dense_recipe(-0.2, 0.6, do_flip=True),
+                                 sparse_recipe(-0.3, 0.5, do_flip=True)]
+            return ds
         return WeightedConcat([(clean, 100), (final, 100), (kitti, 200)])
 
     raise NotImplementedError(f"Stage {stage} not supported.")

@@ -26,6 +26,14 @@ Design notes (TPU-first):
   compile: raw frames arrive zero-padded to the batch max (H, W) with true
   `sizes` passed per sample; means, scale floors, and sampling weights
   mask to the true extent.
+- Mixed stages (sintel/kitti) mix datasets with DIFFERENT recipes (dense
+  vs sparse, different scale ranges): recipes are rows of a scalar table
+  and each sample carries a `recipe` index — per-sample dispatch is a
+  table lookup plus selects, one compile for any mix. The sparse recipe's
+  flow scatter (`augmentor.py::resize_sparse_flow_map`) is separable, so
+  it becomes two static-shape 0/1 matmuls (`sparse_scatter_crop`) — no
+  TPU scatter op; colliding points average instead of the reference's
+  raster-order last write (distributional equivalence, downscale only).
 
 The CPU augmentor remains the reference-exact default; this module is the
 opt-in production path (`--device-aug`).
@@ -108,11 +116,12 @@ def _color_jitter(rng, img, extent_mask, brightness, contrast, saturation, hue):
     padding. The op order is a uniform random permutation (matching
     torchvision's shuffle, `augment.py:68`)."""
     kb, kc, ks, kh, kperm = jax.random.split(rng, 5)
-    fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - brightness),
+    # jnp.maximum, not max: strengths may be traced (per-sample recipes)
+    fb = jax.random.uniform(kb, (), minval=jnp.maximum(0.0, 1 - brightness),
                             maxval=1 + brightness)
-    fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - contrast),
+    fc = jax.random.uniform(kc, (), minval=jnp.maximum(0.0, 1 - contrast),
                             maxval=1 + contrast)
-    fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation),
+    fs = jax.random.uniform(ks, (), minval=jnp.maximum(0.0, 1 - saturation),
                             maxval=1 + saturation)
     fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
 
@@ -169,6 +178,42 @@ def _eraser(rng, img2, extent_mask, size_hw, prob=0.5, bounds=(50, 100)):
 
 
 # ---------------------------------------------------------------------------
+# per-sample augmentation recipes (mixed-dataset stages)
+# ---------------------------------------------------------------------------
+#
+# The sintel/kitti training stages mix datasets whose CPU augmentors differ
+# (dense vs sparse recipe, different scale ranges — `data/datasets.py`
+# fetch_dataset). On device this becomes DATA: each recipe is a row of
+# scalars, each sample carries a `recipe` index, and the vmapped per-sample
+# body indexes the table — one compile serves every mix.
+
+
+def dense_recipe(min_scale: float, max_scale: float,
+                 do_flip: bool = True) -> Dict[str, float]:
+    """`FlowAugmentor` parameterization (`augment.py:15-138`)."""
+    return dict(
+        sparse=0.0, min_scale=min_scale, max_scale=max_scale,
+        crop_margin=8.0, stretch_prob=0.8, spatial_aug_prob=0.8,
+        h_flip_prob=0.5 if do_flip else 0.0,
+        v_flip_prob=0.1 if do_flip else 0.0,
+        asym_prob=0.2, brightness=0.4, contrast=0.4, saturation=0.4,
+        hue=0.5 / 3.14)
+
+
+def sparse_recipe(min_scale: float, max_scale: float,
+                  do_flip: bool = True) -> Dict[str, float]:
+    """`SparseFlowAugmentor` parameterization (`augmentor.py:140-279`):
+    symmetric-only jitter(0.3), uniform scale (no stretch), h-flip only,
+    crop margin +1 (vs the dense +8), sparse flow scatter."""
+    return dict(
+        sparse=1.0, min_scale=min_scale, max_scale=max_scale,
+        crop_margin=1.0, stretch_prob=0.0, spatial_aug_prob=0.8,
+        h_flip_prob=0.5 if do_flip else 0.0, v_flip_prob=0.0,
+        asym_prob=0.0, brightness=0.3, contrast=0.3, saturation=0.3,
+        hue=0.3 / 3.14)
+
+
+# ---------------------------------------------------------------------------
 # spatial: one separable bilinear warp == cv2.resize -> flip -> crop
 # ---------------------------------------------------------------------------
 
@@ -211,43 +256,97 @@ def warp_resize_crop(img, sy, sx, y0, x0, fv, fh, size_hw, resized_hw,
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def _scatter_axis_matrix(out_len, src_len_static, src_len, offset, flip,
+                         resized_len, scale, strict):
+    """(out_len, src_len_static) 0/1 matrix for one axis of the sparse
+    scatter: M[o, s] = 1 iff source index s lands on crop-window row o.
+
+    The reference scatter (`augment.py::resize_sparse_flow_map`) sends
+    source s to resized index round(s * scale) — np.round is
+    half-to-even, as is jnp.round. `strict` reproduces its boundary quirk
+    (xx > 0, i.e. resized index 0 is DROPPED); the no-resize path never
+    scatters in the reference, so strict=False there. The map is separable,
+    so scatter+flip+crop become two static-shape matmuls — same structure
+    as the dense warp, no TPU scatter op (which would serialize)."""
+    o = jnp.arange(out_len, dtype=jnp.float32)
+    r = jnp.where(flip, resized_len.astype(jnp.float32) - 1.0 - (offset + o),
+                  offset + o)  # global resized-space index of window row o
+    s = jnp.arange(src_len_static, dtype=jnp.float32)
+    tgt = jnp.round(s * scale)
+    m = (tgt[None, :] == r[:, None]) & (s[None, :] < src_len)
+    lo_ok = jnp.where(strict, r > 0, r >= 0)
+    m = m & (lo_ok & (r < resized_len.astype(jnp.float32)))[:, None]
+    return m.astype(jnp.float32)
+
+
+def sparse_scatter_crop(flow, valid, sy, sx, y0, x0, fh, size_hw, resized_hw,
+                        crop_size, strict):
+    """Sparse flow map resize -> [h-flip] -> crop, gather/scatter-free.
+
+    flow (H, W, 2), valid (H, W). Where several sources collide on one
+    target pixel the reference keeps the raster-order LAST write; here they
+    average (a sum/count matmul pair) — a documented distributional
+    equivalence, collisions only exist on downscale. Returns
+    (flow (ch, cw, 2) scaled by (sx, sy) and sign-flipped, valid (ch, cw))."""
+    h, w = flow.shape[:2]
+    ch, cw = crop_size
+    my = _scatter_axis_matrix(ch, h, size_hw[0], y0, jnp.asarray(False),
+                              resized_hw[0], sy, strict)
+    mx = _scatter_axis_matrix(cw, w, size_hw[1], x0, fh, resized_hw[1], sx,
+                              strict)
+    v = valid.astype(jnp.float32)[..., None]
+    num = jnp.einsum("oh,hwc->owc", my, flow * v,
+                     precision=jax.lax.Precision.HIGHEST)
+    num = jnp.einsum("pw,owc->opc", mx, num,
+                     precision=jax.lax.Precision.HIGHEST)
+    cnt = jnp.einsum("oh,hwc->owc", my, v,
+                     precision=jax.lax.Precision.HIGHEST)
+    cnt = jnp.einsum("pw,owc->opc", mx, cnt,
+                     precision=jax.lax.Precision.HIGHEST)
+    flow_out = num / jnp.maximum(cnt, 1.0)
+    flow_out = flow_out * jnp.stack([sx, sy])
+    flow_out = flow_out * jnp.stack([jnp.where(fh, -1.0, 1.0), 1.0])
+    return flow_out, (cnt[..., 0] > 0).astype(jnp.float32)
+
+
 class DeviceFlowAugmentor:
-    """Dense-recipe augmentor running under jit (see module docstring).
+    """Recipe-table augmentor running under jit (see module docstring).
 
     Call with a raw batch dict (image1/image2/flow/mask1/mask2 as
-    (B, H, W, C) float32, optional sizes (B, 2) int32 true (h, w)) and a
-    PRNG key; returns the same keys cropped to `crop_size`.
+    (B, H, W, C) float32, optional valid (B, H, W), optional sizes (B, 2)
+    int32 true (h, w), optional recipe (B,) int32 index into `recipes`)
+    and a PRNG key; returns the same keys cropped to `crop_size`.
+
+    With the default single dense recipe this is the chairs/things path;
+    mixed stages (sintel/kitti) pass one recipe per source dataset
+    (`dense_recipe`/`sparse_recipe`) and per-sample `recipe` indices.
     """
 
     def __init__(self, crop_size: Tuple[int, int], min_scale: float = -0.2,
-                 max_scale: float = 0.5, do_flip: bool = True):
+                 max_scale: float = 0.5, do_flip: bool = True, recipes=None):
         self.crop_size = tuple(crop_size)
-        self.min_scale = min_scale
-        self.max_scale = max_scale
-        self.spatial_aug_prob = 0.8
-        self.stretch_prob = 0.8
+        if recipes is None:
+            recipes = [dense_recipe(min_scale, max_scale, do_flip)]
+        self.table = {k: jnp.asarray([r[k] for r in recipes], jnp.float32)
+                      for k in recipes[0]}
         self.max_stretch = 0.2
-        self.do_flip = do_flip
-        self.h_flip_prob = 0.5
-        self.v_flip_prob = 0.1
-        self.asymmetric_color_aug_prob = 0.2
         self.eraser_aug_prob = 0.5
-        self.brightness, self.contrast = 0.4, 0.4
-        self.saturation, self.hue = 0.4, 0.5 / 3.14
 
-    def _one(self, rng, img1, img2, flow, mask1, mask2, size_hw):
+    def _one(self, rng, img1, img2, flow, valid, mask1, mask2, size_hw, rid):
         ch, cw = self.crop_size
         h, w = img1.shape[:2]
+        rp = {k: v[rid] for k, v in self.table.items()}
         ks = jax.random.split(rng, 13)
         extent = ((jnp.arange(h)[:, None] < size_hw[0])
                   & (jnp.arange(w)[None, :] < size_hw[1]))[..., None]
         extent = extent.astype(jnp.float32)
 
-        # -- photometric (asymmetric with prob 0.2, else ONE param draw over
-        # the vertically stacked pair — exactly the reference's np.concatenate
-        # trick, so e.g. the contrast mean spans both frames)
-        asym = jax.random.uniform(ks[0], ()) < self.asymmetric_color_aug_prob
-        jit_args = (self.brightness, self.contrast, self.saturation, self.hue)
+        # -- photometric (asymmetric with recipe prob, else ONE param draw
+        # over the vertically stacked pair — exactly the reference's
+        # np.concatenate trick, so e.g. the contrast mean spans both frames)
+        asym = jax.random.uniform(ks[0], ()) < rp["asym_prob"]
+        jit_args = (rp["brightness"], rp["contrast"], rp["saturation"],
+                    rp["hue"])
         stack = jnp.concatenate([img1, img2], axis=0)
         ext2 = jnp.concatenate([extent, extent], axis=0)
         sym = _color_jitter(ks[1], stack, ext2, *jit_args)
@@ -260,31 +359,29 @@ class DeviceFlowAugmentor:
         # -- eraser on frame 2
         img2 = _eraser(ks[4], img2, extent, size_hw, self.eraser_aug_prob)
 
-        # -- spatial params (`augment.py:117-153`)
+        # -- spatial params (`augment.py:117-153`; sparse `augmentor.py:228-256`)
         hf = size_hw[0].astype(jnp.float32)
         wf = size_hw[1].astype(jnp.float32)
-        min_scale = jnp.maximum((ch + 8) / hf, (cw + 8) / wf)
-        scale = 2.0 ** jax.random.uniform(ks[5], (), minval=self.min_scale,
-                                          maxval=self.max_scale)
-        do_stretch = jax.random.uniform(ks[6], ()) < self.stretch_prob
+        m = rp["crop_margin"]  # dense +8, sparse +1
+        min_scale = jnp.maximum((ch + m) / hf, (cw + m) / wf)
+        scale = 2.0 ** jax.random.uniform(ks[5], (), minval=rp["min_scale"],
+                                          maxval=rp["max_scale"])
+        do_stretch = jax.random.uniform(ks[6], ()) < rp["stretch_prob"]
         st = 2.0 ** jax.random.uniform(ks[7], (2,), minval=-self.max_stretch,
                                        maxval=self.max_stretch)
         sx = scale * jnp.where(do_stretch, st[0], 1.0)
         sy = scale * jnp.where(do_stretch, st[1], 1.0)
         sx = jnp.maximum(sx, min_scale)
         sy = jnp.maximum(sy, min_scale)
-        do_spatial = jax.random.uniform(ks[8], ()) < self.spatial_aug_prob
+        do_spatial = jax.random.uniform(ks[8], ()) < rp["spatial_aug_prob"]
         sx = jnp.where(do_spatial, sx, 1.0)
         sy = jnp.where(do_spatial, sy, 1.0)
         hs = jnp.round(hf * sy).astype(jnp.int32)
         ws = jnp.round(wf * sx).astype(jnp.int32)
         resized_hw = (hs, ws)
 
-        if self.do_flip:
-            fh = jax.random.uniform(ks[9], ()) < self.h_flip_prob
-            fv = jax.random.uniform(ks[10], ()) < self.v_flip_prob
-        else:
-            fh = fv = jnp.asarray(False)
+        fh = jax.random.uniform(ks[9], ()) < rp["h_flip_prob"]
+        fv = jax.random.uniform(ks[10], ()) < rp["v_flip_prob"]
 
         y0 = jax.random.randint(ks[11], (), 0, jnp.maximum(hs - ch, 1))
         x0 = jax.random.randint(ks[12], (), 0, jnp.maximum(ws - cw, 1))
@@ -292,25 +389,42 @@ class DeviceFlowAugmentor:
         warp = lambda a: warp_resize_crop(a, sy, sx, y0, x0, fv, fh,
                                           size_hw, resized_hw, self.crop_size)
         img1, img2, mask1, mask2 = warp(img1), warp(img2), warp(mask1), warp(mask2)
-        flow = warp(flow) * jnp.stack([sx, sy])
-        flow = flow * jnp.stack([jnp.where(fh, -1.0, 1.0),
-                                 jnp.where(fv, -1.0, 1.0)])
-        return img1, img2, flow, mask1, mask2
+
+        # dense flow: bilinear-warped like the images, valid recomputed
+        flow_d = warp(flow) * jnp.stack([sx, sy])
+        flow_d = flow_d * jnp.stack([jnp.where(fh, -1.0, 1.0),
+                                     jnp.where(fv, -1.0, 1.0)])
+        valid_d = ((jnp.abs(flow_d[..., 0]) < 1000)
+                   & (jnp.abs(flow_d[..., 1]) < 1000)).astype(jnp.float32)
+        # sparse flow: point scatter (strict-bounds quirk only when the
+        # reference actually resizes); vmap turns this cond into a select,
+        # so both paths run — the scatter is two extra small matmuls
+        flow_s, valid_s = sparse_scatter_crop(
+            flow, valid, sy, sx, y0, x0, fh, size_hw, resized_hw,
+            self.crop_size, strict=do_spatial)
+        is_sparse = rp["sparse"] > 0.5
+        flow = jnp.where(is_sparse, flow_s, flow_d)
+        valid = jnp.where(is_sparse, valid_s, valid_d)
+        return img1, img2, flow, valid, mask1, mask2
 
     def __call__(self, rng, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         b, h, w = batch["image1"].shape[:3]
         sizes = batch.get("sizes")
         if sizes is None:
             sizes = jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1))
+        recipe = batch.get("recipe")
+        if recipe is None:
+            recipe = jnp.zeros((b,), jnp.int32)
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones((b, h, w), jnp.float32)
         rngs = jax.random.split(rng, b)
-        img1, img2, flow, mask1, mask2 = jax.vmap(self._one)(
-            rngs, batch["image1"], batch["image2"], batch["flow"],
-            batch["mask1"], batch["mask2"], sizes)
+        img1, img2, flow, valid, mask1, mask2 = jax.vmap(self._one)(
+            rngs, batch["image1"], batch["image2"], batch["flow"], valid,
+            batch["mask1"], batch["mask2"], sizes, recipe)
         out = dict(batch)
-        out.update(image1=img1, image2=img2, flow=flow, mask1=mask1,
-                   mask2=mask2)
+        out.update(image1=img1, image2=img2, flow=flow, valid=valid,
+                   mask1=mask1, mask2=mask2)
         out.pop("sizes", None)
-        # dense valid, same formula the datasets use (`datasets.py:95`)
-        out["valid"] = ((jnp.abs(flow[..., 0]) < 1000)
-                        & (jnp.abs(flow[..., 1]) < 1000)).astype(jnp.float32)
+        out.pop("recipe", None)
         return out

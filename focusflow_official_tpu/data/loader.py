@@ -17,6 +17,7 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 _STACK_KEYS = ("image1", "image2", "flow", "mask1", "mask2", "valid")
+_PAD_KEYS = frozenset(_STACK_KEYS)
 
 
 class Loader:
@@ -63,9 +64,24 @@ class Loader:
 
     def _collate(self, samples) -> Dict[str, np.ndarray]:
         out = {}
+        # mixed-dataset raw batches (device-aug path) carry heterogeneous
+        # resolutions: zero-pad every spatial array to the batch max and
+        # ship true per-sample `sizes` — the on-device augmentor masks its
+        # photometric means / warp weights to the true extent
+        hs = [int(s["image1"].shape[0]) for s in samples]
+        ws = [int(s["image1"].shape[1]) for s in samples]
+        hetero = len(set(hs)) > 1 or len(set(ws)) > 1
+        mh, mw = max(hs), max(ws)
         for k in _STACK_KEYS:
             if k in samples[0]:
-                out[k] = np.stack([s[k] for s in samples], axis=0)
+                arrs = [s[k] for s in samples]
+                if hetero and k in _PAD_KEYS:
+                    arrs = [np.pad(a, [(0, mh - a.shape[0]), (0, mw - a.shape[1])]
+                                   + [(0, 0)] * (a.ndim - 2)) for a in arrs]
+                out[k] = np.stack(arrs, axis=0)
+        if "recipe" in samples[0]:
+            out["recipe"] = np.asarray([s["recipe"] for s in samples], np.int32)
+            out["sizes"] = np.asarray(list(zip(hs, ws)), np.int32)
         return out
 
     def batches(self, start_step: int = 0) -> Iterator[Dict[str, np.ndarray]]:
