@@ -30,4 +30,48 @@ for i in range(1, n + 1):
     ids.append(1 if i <= 6 else 2)  # 6 train, 2 validation
 np.savetxt(os.path.join(root, 'FlyingChairs_release', 'FlyingChairs_train_val.txt'),
            np.array(ids, np.int32), fmt='%d')
+
+# ---- tiny Sintel tree (dense; both render passes, one scene, 3 frames) ----
+sh, sw = 104, 136
+for dstype in ("clean", "final"):
+    idir = os.path.join(root, 'Sintel-custom', 'training', dstype, 'alley_9')
+    mdir = os.path.join(root, 'mask', 'Sintel-custom', 'orb', 'training',
+                        dstype, 'alley_9')
+    os.makedirs(idir, exist_ok=True); os.makedirs(mdir, exist_ok=True)
+    frames = [(rng.rand(sh, sw, 3) * 255).astype(np.uint8) for _ in range(3)]
+    for i, fr in enumerate(frames, start=1):
+        Image.fromarray(fr).save(f"{idir}/frame_{i:04d}.png")
+        m = ((rng.rand(sh, sw) > 0.97) * 255).astype(np.uint8)
+        cv2.imwrite(f"{mdir}/frame_{i:04d}.png", m)
+fdir = os.path.join(root, 'Sintel-custom', 'training', 'flow', 'alley_9')
+os.makedirs(fdir, exist_ok=True)
+for i in range(1, 3):
+    fl = np.zeros((sh, sw, 2), np.float32)
+    fl[..., 0], fl[..., 1] = rng.randint(-3, 4), rng.randint(-3, 4)
+    write_flo(f"{fdir}/frame_{i:04d}.flo", fl)
+
+# ---- tiny KITTI tree (sparse u16 flow, 2 pairs, KITTI-ish aspect) --------
+kh, kw = 100, 160
+kimg = os.path.join(root, 'KITTI-custom', 'training', 'image_2')
+kflo = os.path.join(root, 'KITTI-custom', 'training', 'flow_occ')
+kmask = os.path.join(root, 'mask', 'KITTI-custom', 'orb', 'training')
+os.makedirs(kimg, exist_ok=True); os.makedirs(kflo, exist_ok=True)
+os.makedirs(kmask, exist_ok=True)
+for i in range(2):
+    a = (rng.rand(kh, kw, 3) * 255).astype(np.uint8)
+    b = np.roll(a, rng.randint(-3, 4), 1)
+    cv2.imwrite(f"{kimg}/{i:06d}_10.png", a)
+    cv2.imwrite(f"{kimg}/{i:06d}_11.png", b)
+    fl = rng.randn(kh, kw, 2).astype(np.float32) * 3
+    valid = rng.rand(kh, kw) < 0.25
+    fl[~valid] = 0.0
+    # sparse-valid u16 KITTI PNG (data/io.py::write_flow_kitti assumes
+    # all-valid, so encode the valid channel directly here)
+    uv = 64.0 * fl + 2**15
+    out3 = np.concatenate([uv, valid[..., None].astype(np.float32)],
+                          axis=-1).astype(np.uint16)
+    cv2.imwrite(f"{kflo}/{i:06d}_10.png", out3[..., ::-1])
+    for suf in ("10", "11"):
+        m = ((rng.rand(kh, kw) > 0.97) * 255).astype(np.uint8)
+        cv2.imwrite(f"{kmask}/{i:06d}_{suf}.png", m)
 print("smoke data at", root)
