@@ -17,6 +17,7 @@ Subpackages
 - ``data``    : flow/mask datasets, codecs, mask-aware augmentation.
 - ``train``   : pjit'd train loop, mesh utilities, eval protocol, checkpoints.
 - ``compat``  : torch checkpoint import for parity testing.
+- ``predict`` : three-line inference API (`FlowPredictor`).
 """
 
 __version__ = "0.1.0"
