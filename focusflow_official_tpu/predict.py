@@ -116,3 +116,34 @@ class FlowPredictor:
         flow = self._forward(p1, p2, pm1, pm2)
         flow = np.asarray(padder.unpad(flow), np.float32)[:, :h, :w]
         return flow[0] if single else flow
+
+    def sequence(self, frames, masks=None, *, warm_start: bool = True) -> np.ndarray:
+        """Consecutive-pair flow over a video clip.
+
+        frames: (T, H, W, 3) array or list of HWC frames; masks: optional,
+        same length. warm_start forward-splats each pair's low-res flow
+        into the next pair's `flow_init` (`ops.forward_interpolate`) — the
+        reference's Sintel-submission warm start (`evaluate.py:47-66`
+        analog). Returns (T-1, H, W, 2) float32.
+        """
+        from .ops.coords import forward_interpolate
+        from .train.submission import _forward_with_lowres
+
+        forward = _forward_with_lowres(self.model, self.variables, self.iters)
+        frames = [_as_nhwc(f, 3)[0] for f in frames]
+        h, w = frames[0].shape[:2]
+        masks = ([np.zeros((h, w, 1), np.float32)] * len(frames) if masks is None
+                 else [_as_nhwc(m, 1)[0] for m in masks])
+        assert len(frames) >= 2 and len(masks) == len(frames)
+
+        flows, flow_prev = [], None
+        for i in range(len(frames) - 1):
+            padder = InputPadder(frames[i][None].shape)
+            args = padder.pad(*[jnp.asarray(a[None]) for a in (
+                frames[i], frames[i + 1], masks[i], masks[i + 1])])
+            init = None if flow_prev is None else jnp.asarray(flow_prev[None])
+            flow_up, flow_lr = forward(*args, init)
+            flows.append(np.asarray(padder.unpad(flow_up), np.float32)[0])
+            if warm_start:
+                flow_prev = forward_interpolate(np.asarray(flow_lr)[0])
+        return np.stack(flows)

@@ -66,3 +66,17 @@ def test_predict_batched_with_masks_and_bucket(smoke_checkpoint):
     # a second, smaller shape rides the same bucket (same compiled forward)
     flow2 = p(i1[:, :64, :96], i2[:, :64, :96])
     assert flow2.shape == (2, 64, 96, 2)
+
+
+def test_sequence_warm_start(smoke_checkpoint):
+    p = FlowPredictor("configs/smoke_chairs.yaml", smoke_checkpoint,
+                      compute_dtype="float32", corr_impl="xla", iters=2)
+    rng = np.random.RandomState(2)
+    frames = (rng.rand(3, 64, 96, 3) * 255).astype(np.float32)
+    flows = p.sequence(frames, warm_start=True)
+    assert flows.shape == (2, 64, 96, 2)
+    assert np.isfinite(flows).all()
+    # warm start changes the second pair's init (untrained nets diverge)
+    cold = p.sequence(frames, warm_start=False)
+    assert not np.allclose(flows[1], cold[1])
+    np.testing.assert_allclose(flows[0], cold[0], atol=1e-5)  # first pair same
