@@ -55,3 +55,56 @@ def test_kitti_submission(tmp_path):
     flow, valid = read_flow_kitti(os.path.join(out, files[0]))
     assert flow.shape == (64, 96, 2) and valid.min() == 1
     assert np.isfinite(flow).all()
+
+
+class _FakeSintelTest:
+    """Duck-typed MpiSintel(split='testing'): 2 scenes x 3 frames."""
+
+    def __init__(self, h=64, w=96):
+        rng = np.random.RandomState(4)
+        self._samples = []
+        for scene in ("alley_1", "alley_2"):
+            frames = [(rng.rand(h, w, 3) * 255).astype(np.float32)
+                      for _ in range(3)]
+            masks = [((rng.rand(h, w, 1) > 0.97) * 255).astype(np.float32)
+                     for _ in range(3)]
+            for i in range(2):
+                self._samples.append({
+                    "image1": frames[i], "image2": frames[i + 1],
+                    "mask1": masks[i], "mask2": masks[i + 1],
+                    "extra_info": (scene, i),
+                })
+
+    def __len__(self):
+        return len(self._samples)
+
+    def __getitem__(self, i):
+        return self._samples[i]
+
+
+def test_sintel_submission_warm_start(tmp_path):
+    """Sintel writer e2e incl. the warm start (flow_prev resets per scene):
+    writes frameNNNN.flo per scene/dstype, readable and finite."""
+    from focusflow_official_tpu.data.io import read_flo
+    from focusflow_official_tpu.models import FFRaft, FFRaftConfig
+    from focusflow_official_tpu.train.submission import create_sintel_submission
+
+    cfg = FFRaftConfig(fusion="parallel", fusion_type="1x1conv",
+                       fuse_cnet=True, iters=2, compute_dtype="float32",
+                       corr_impl="xla")
+    model = FFRaft(cfg)
+    ds = _FakeSintelTest()
+    s = ds[0]
+    variables = model.init(
+        jax.random.PRNGKey(0), *[jnp.asarray(s[k][None]) for k in
+                                 ("image1", "image2", "mask1", "mask2")],
+        iters=1)
+    out = str(tmp_path / "sintel_out")
+    create_sintel_submission(model, variables, {"clean": ds}, out, iters=2,
+                             warm_start=True)
+    for scene in ("alley_1", "alley_2"):
+        for fid in (1, 2):
+            p = os.path.join(out, "clean", scene, f"frame{fid:04d}.flo")
+            assert os.path.exists(p), p
+            flow = read_flo(p)
+            assert flow.shape == (64, 96, 2) and np.isfinite(flow).all()
