@@ -95,6 +95,25 @@ def test_bf16_fast_path_trained_12iters():
     assert float(np.median(diff)) < 0.1
 
 
+def test_corr_q8_trained():
+    """FF_CORR_Q8 (int8 volume) with trained weights: flow must track the
+    exact fused path within the ~1%-of-corr quantization budget's flow
+    impact — a sub-0.1 px median over 12 refinements."""
+    v = load_trained_variables()
+    i1, i2, m1, m2, _ = _smoke_inputs(seed=3)
+    args = list(map(jnp.asarray, (i1, i2, m1, m2)))
+    model = FFRaft(_cfg(corr_impl="fused"))
+    _, base = model.apply(v, *args, iters=12, test_mode=True)
+    os.environ["FF_CORR_Q8"] = "1"
+    try:
+        _, q8 = model.apply(v, *args, iters=12, test_mode=True)
+    finally:
+        os.environ.pop("FF_CORR_Q8", None)
+    diff = np.abs(np.asarray(q8) - np.asarray(base))
+    assert float(np.median(diff)) < 0.1, float(np.median(diff))
+    assert float(diff.mean()) < 0.25, float(diff.mean())
+
+
 def test_alt_corr_trained():
     """ALT_CORR path with trained weights tracks the materialized path."""
     v = load_trained_variables()
