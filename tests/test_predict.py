@@ -35,9 +35,13 @@ def smoke_checkpoint(tmp_path_factory):
     variables = model.init(jax.random.PRNGKey(0), zeros(3), zeros(3),
                            zeros(1), zeros(1), iters=1)
     path = os.path.join(tmp_path_factory.mktemp("ckpt"), "export")
-    ocp.StandardCheckpointer().save(
-        path, {"params": variables["params"],
-               "batch_stats": variables.get("batch_stats", {})})
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": variables["params"],
+                      "batch_stats": variables.get("batch_stats", {})})
+    # StandardCheckpointer saves ASYNCHRONOUSLY (it is an AsyncCheckpointer):
+    # without this barrier the restore below races the background commit
+    # rename and flakes with FileNotFoundError under load.
+    ckptr.wait_until_finished()
     return path
 
 
