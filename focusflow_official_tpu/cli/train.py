@@ -324,7 +324,19 @@ def main():
                         help="capture a jax.profiler trace into this dir")
     parser.add_argument("--profile-start", type=int, default=10)
     parser.add_argument("--profile-steps", type=int, default=5)
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() before "
+                             "touching devices (multi-host pods / multi-slice "
+                             "DCN; coordinator autodetected on TPU, or set "
+                             "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                             "JAX_PROCESS_ID). Single-host runs don't need it.")
     args = parser.parse_args()
+    if args.multihost:
+        # The SPMD replacement for the reference's torch.distributed env://
+        # rendezvous (`ff-raft/train.py:128-132`): one call wires the
+        # coordination service; the mesh + loader already shard by
+        # jax.process_index(), so nothing else changes per process.
+        jax.distributed.initialize()
     raise SystemExit(train(args))
 
 

@@ -1,4 +1,15 @@
-"""Build a synthetic FlyingChairs-layout dataset for e2e smoke runs."""
+"""Build a synthetic FlyingChairs-layout dataset for e2e smoke runs.
+
+Usage: make_smoke_data.py [root] [--pairs N] [--rich]
+
+Default (8 pairs, integer-shifted noise frames) matches the original smoke
+tree. `--rich` writes textured frames (smoothed noise, so the correlation
+volume has structure at every scale) whose second frame is an exact affine
+warp of the first with the matching dense GT flow — a learnable-but-not-
+memorizable signal used to train the `tests/fixtures/trained_smoke.npz`
+gate weights further than the shift-only set allows (which a few hundred
+steps already overfit — BENCH.md round 3).
+"""
 import os, sys
 import numpy as np
 sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
@@ -6,20 +17,60 @@ from focusflow_official_tpu.data.io import write_flo
 from PIL import Image
 import cv2
 
-root = sys.argv[1] if len(sys.argv) > 1 else '/tmp/ff_smoke'
+argv = [a for a in sys.argv[1:]]
+root = argv[0] if argv and not argv[0].startswith('--') else '/tmp/ff_smoke'
+n = int(argv[argv.index('--pairs') + 1]) if '--pairs' in argv else 8
+rich = '--rich' in argv
 data = os.path.join(root, 'FlyingChairs_release', 'data')
 maskd = os.path.join(root, 'mask', 'FlyingChairs_release', 'orb')
 os.makedirs(data, exist_ok=True); os.makedirs(maskd, exist_ok=True)
 rng = np.random.RandomState(0)
-n = 8
+
+
+def rich_pair(h, w):
+    """Textured frame + exact affine-warp second frame + dense GT flow.
+
+    img2(x) = img1(S(x)) with S affine (cv2 WARP_INVERSE_MAP semantics), so
+    the forward flow at pixel y is u(y) = S^-1(y) - y, exact everywhere the
+    warp stays in-bounds (margins are still consistent: img1 is sampled with
+    BORDER_REFLECT, and max |u| is kept small).
+    """
+    base = rng.rand(h, w, 3).astype(np.float32)
+    img1 = np.zeros_like(base)
+    for sigma, gain in ((1.5, 1.0), (5.0, 2.0), (12.0, 4.0)):
+        img1 += gain * cv2.GaussianBlur(base, (0, 0), sigma)
+    img1 -= img1.min(); img1 *= 255.0 / max(img1.max(), 1e-6)
+    # small random affine around the center: rotation + scale + shift
+    ang = rng.uniform(-4, 4)
+    scale = rng.uniform(0.96, 1.04)
+    t = rng.uniform(-3, 3, size=2)
+    S = cv2.getRotationMatrix2D((w / 2, h / 2), ang, scale)
+    S[:, 2] += t
+    img2 = cv2.warpAffine(img1, S, (w, h),
+                          flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                          borderMode=cv2.BORDER_REFLECT)
+    A, b = S[:, :2], S[:, 2]
+    Ainv = np.linalg.inv(A)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    pts = np.stack([xs, ys], axis=-1)  # (h, w, 2) in (x, y)
+    src = (pts - b) @ Ainv.T  # S^-1(y)
+    flow = (src - pts).astype(np.float32)
+    return img1.astype(np.uint8), img2.astype(np.uint8), flow
+
+
 ids = []
+n_val = max(2, n // 8)
 for i in range(1, n + 1):
     h, w = 96, 128
-    img1 = (rng.rand(h, w, 3) * 255).astype(np.uint8)
-    # shift img2 by a known flow for a learnable signal
-    dx, dy = rng.randint(-3, 4), rng.randint(-3, 4)
-    img2 = np.roll(np.roll(img1, dy, 0), dx, 1)
-    flow = np.zeros((h, w, 2), np.float32); flow[..., 0] = dx; flow[..., 1] = dy
+    if rich:
+        img1, img2, flow = rich_pair(h, w)
+    else:
+        img1 = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        # shift img2 by a known flow for a learnable signal
+        dx, dy = rng.randint(-3, 4), rng.randint(-3, 4)
+        img2 = np.roll(np.roll(img1, dy, 0), dx, 1)
+        flow = np.zeros((h, w, 2), np.float32)
+        flow[..., 0] = dx; flow[..., 1] = dy
     Image.fromarray(img1).save(f"{data}/{i:05d}_img1.ppm")
     Image.fromarray(img2).save(f"{data}/{i:05d}_img2.ppm")
     write_flo(f"{data}/{i:05d}_flow.flo", flow)
@@ -27,7 +78,7 @@ for i in range(1, n + 1):
     m2 = ((rng.rand(h, w) > 0.97) * 255).astype(np.uint8)
     cv2.imwrite(f"{maskd}/{i:05d}_img1.png", m1)
     cv2.imwrite(f"{maskd}/{i:05d}_img2.png", m2)
-    ids.append(1 if i <= 6 else 2)  # 6 train, 2 validation
+    ids.append(1 if i <= n - n_val else 2)  # last n_val pairs: validation
 np.savetxt(os.path.join(root, 'FlyingChairs_release', 'FlyingChairs_train_val.txt'),
            np.array(ids, np.int32), fmt='%d')
 
