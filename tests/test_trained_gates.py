@@ -3,9 +3,11 @@
 Round-2 verdict: every parity gate ran untrained nets, leaving the bf16
 fast-path bound nearly vacuous and the eval protocol without same-weights
 numbers from both stacks. The fixture `tests/fixtures/trained_smoke.npz`
-is the smoke-chairs config trained 400 steps on `make_smoke_data` output
-(final/chairs AEPE 4.68 vs ~40 untrained; fp16-stored, ~14 MB), produced
-by `cli/train.py` — see BENCH.md round 3.
+is the smoke-chairs config trained 700 steps via `cli/train.py` on the
+RICH `make_smoke_data --rich` set (64 textured affine-warp pairs with
+exact dense GT — learnable but not memorizable, unlike the 8-pair
+shift-only set a few hundred steps overfit): final/chairs AEPE 3.47 vs
+~40 untrained; fp16-stored, ~14 MB. See BENCH.md round 3.
 """
 
 import os
@@ -70,9 +72,10 @@ def test_trained_net_recovers_flow():
                           iters=12, test_mode=True)
     flow = np.asarray(flow)
     # interior epe well below the untrained ~image-scale chaos (~40 px);
-    # current fixture (400 steps): ~7.4 px on unseen noise
+    # current fixture (700 steps, rich affine data): ~3.4 px on unseen
+    # white-noise probes (out-of-distribution for the textured train set)
     epe = np.sqrt(((flow[0, 8:-8, 8:-8] - np.array([dx, dy])) ** 2).sum(-1))
-    assert float(epe.mean()) < 10.0, float(epe.mean())
+    assert float(epe.mean()) < 6.0, float(epe.mean())
 
 
 def test_bf16_fast_path_trained_12iters():
