@@ -43,7 +43,7 @@ from ..nn.latent_cost import (
     linear_position_embedding_sine,
     _mha,
 )
-from ..nn.twins import HIGH, TwinsSVT2Stage, TwinsSVT2StageCCE, _dense, _ln
+from ..nn.twins import HIGH, TwinsSVT2Stage, TwinsSVT2StageCCE, _dense, _ln, gelu
 from ..nn.blocks import conv2d
 from ..ops.coords import coords_grid
 from ..ops.corr import CorrPyramid, lookup_corr_pyramid
@@ -254,7 +254,7 @@ class MemoryDecoderStep(nn.Module):
 
         fte0 = conv2d(dim, 1, 1, 0, name="flow_token_encoder_0", dtype=d)
         fte2 = conv2d(dim, 1, 1, 0, name="flow_token_encoder_2", dtype=d)
-        query = fte2(nn.gelu(fte0(cost_forward), approximate=False))
+        query = fte2(gelu(fte0(cost_forward)))
         query = query.reshape(b * q_count, 1, dim)
 
         # positional query from the current coords (`decoder.py:67-81`)
@@ -273,7 +273,7 @@ class MemoryDecoderStep(nn.Module):
         xn = _ln("decoder_layer_cross_attend_norm2", d, eps=1e-5)(x)
         ffn0 = _dense(dim, "decoder_layer_cross_attend_ffn_0", d)
         ffn3 = _dense(dim, "decoder_layer_cross_attend_ffn_3", d)
-        x = x + ffn3(nn.gelu(ffn0(xn), approximate=False))
+        x = x + ffn3(gelu(ffn0(xn)))
         cost_global = x.reshape(b, h1, w1, dim)
 
         corr = cost_global if cfg.only_global else jnp.concatenate(

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from .blocks import conv2d
+from .twins import gelu
 
 
 class ChannelLayerNorm(nn.Module):
@@ -85,7 +86,7 @@ class Mlp(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.hidden_features, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         return nn.Dense(self.in_features, dtype=self.dtype, param_dtype=jnp.float32,
                         name="fc2")(x)
 

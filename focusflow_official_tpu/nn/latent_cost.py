@@ -23,7 +23,17 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.coords import coords_grid
-from .twins import HIGH, _dense, _ln
+from .twins import HIGH, _dense, _ln, gelu
+
+
+def _lsa_v2() -> bool:
+    """Perf experiment gate (FF_LSA_V2=1): transpose-minimal vertical-LSA
+    formulation. Mathematically identical to the default path; kept behind
+    an env knob until bench-measured on TPU — in-model layout verdicts have
+    inverted microbenchmark predictions before (BENCH.md methodology)."""
+    import os
+
+    return os.environ.get("FF_LSA_V2", "0") != "0"
 
 
 def linear_position_embedding_sine(x: jnp.ndarray, dim: int,
@@ -153,7 +163,7 @@ class BroadCrossAttentionLayer(nn.Module):
 
         xn = _ln("norm2", d, eps=1e-5)(x)
         ff = _dense(self.query_token_dim, "ffn_0", d)(xn)
-        ff = nn.gelu(ff, approximate=False)
+        ff = gelu(ff)
         ff = _dense(self.query_token_dim, "ffn_3", d)(ff)
         return x + ff
 
@@ -180,7 +190,7 @@ class SelfAttentionLayer(nn.Module):
         x = short_cut + y
         xn = _ln("norm2", d, eps=1e-5)(x)
         ff = _dense(self.dim, "ffn_0", d)(xn)
-        ff = nn.gelu(ff, approximate=False)
+        ff = gelu(ff)
         ff = _dense(self.dim, "ffn_3", d)(ff)
         return x + ff
 
@@ -201,13 +211,13 @@ class MLPMixerLayer(nn.Module):
         xn = _ln("mlpmixer_0_norm", d, eps=1e-5)(x)
         y = xn.transpose(0, 2, 1)  # (B, D, K)
         y = _dense(k * ef, "mlpmixer_0_fn_0", d)(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = _dense(k, "mlpmixer_0_fn_3", d)(y)
         x = x + y.transpose(0, 2, 1)
 
         xn = _ln("mlpmixer_1_norm", d, eps=1e-5)(x)
         y = _dense(self.dim * ef, "mlpmixer_1_fn_0", d)(xn)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = _dense(self.dim, "mlpmixer_1_fn_3", d)(y)
         return x + y
 
@@ -227,7 +237,7 @@ class ConvNextBlock(nn.Module):
                     precision=HIGH, name="dwconv")(x)
         x = _ln("norm", d, eps=1e-6)(x)
         x = _dense(4 * self.dim, "pwconv1", d)(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = _dense(self.dim, "pwconv2", d)(x)
         gamma = self.param("gamma", nn.initializers.constant(1e-6), (self.dim,), jnp.float32)
         return inp + gamma * x
@@ -291,15 +301,46 @@ class LocallyGroupedAttnRPEContext(nn.Module):
         hp, wp = h + pad_b, w + pad_r
         nh_, nw_ = hp // ws, wp // ws
 
+        # per-window coords (0..ws-1), sine-encoded at C_qk dims
+        coord = coords_grid(1, ws, ws).reshape(1, ws * ws, 2)
+        enc = linear_position_embedding_sine(coord, dim=c_qk).astype(d)  # (1, ws*ws, c_qk)
+
+        if _lsa_v2():
+            # Transpose-minimal formulation (identical math): the q/k/v
+            # denses and the RPE add are token-pointwise, so they commute
+            # with the window permutation — apply them in NATURAL
+            # (b, hp, wp, ·) layout, window-partition ONE stacked qkv
+            # tensor, and split heads implicitly inside the einsums. Six
+            # 6-D transposes/relayouts per layer (2x windows, 3x heads,
+            # 1 extra merge) become 2 (partition + merge). Round-3
+            # profile: the vertical-LSA scope is data-movement-bound,
+            # ~2 ms/layer (BENCH.md FlowFormer table).
+            enc_grid = jnp.tile(enc.reshape(1, ws, ws, c_qk), (1, nh_, nw_, 1))
+            xe = x_qk + enc_grid
+            q = _dense(c, "q", d)(xe)
+            k = _dense(c, "k", d)(xe)
+            v = _dense(c, "v", d)(xg)
+            qkv = jnp.concatenate([q, k, v], axis=-1)  # (b, hp, wp, 3c)
+            qkv = qkv.reshape(b, nh_, ws, nw_, ws, 3 * c)
+            qkv = qkv.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, nh_ * nw_, ws * ws, 3, nh, hd)
+            qh, kh, vh = (qkv[..., 0, :, :], qkv[..., 1, :, :],
+                          qkv[..., 2, :, :])
+            attn = jnp.einsum("bwihd,bwjhd->bwhij", qh, kh,
+                              precision=HIGH) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bwhij,bwjhd->bwihd", attn, vh, precision=HIGH)
+            out = out.reshape(b, nh_, nw_, ws, ws, c)
+            out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, hp, wp, c)[:, :h, :w]
+            out = out.reshape(b, n, c)
+            return _dense(c, "proj", d)(out)
+
         def windows(t, ch):
             t = t.reshape(b, nh_, ws, nw_, ws, ch).transpose(0, 1, 3, 2, 4, 5)
             return t.reshape(b, nh_ * nw_, ws * ws, ch)
 
         v = _dense(c, "v", d)(windows(xg, c))
-
-        # per-window coords (0..ws-1), sine-encoded at C_qk dims
-        coord = coords_grid(1, ws, ws).reshape(1, ws * ws, 2)
-        enc = linear_position_embedding_sine(coord, dim=c_qk).astype(d)  # (1, ws*ws, c_qk)
         xw_qk = windows(x_qk, c_qk) + enc[:, None]
 
         q = _dense(c, "q", d)(xw_qk)

@@ -26,6 +26,18 @@ import jax.numpy as jnp
 HIGH = jax.lax.Precision.HIGHEST
 
 
+def gelu(x):
+    """GELU for the FlowFormer stack. Default: exact erf — parity with the
+    reference's torch `nn.GELU()` (timm Twins / LatentCostFormer MLPs).
+    FF_FAST_GELU=1 opts into the tanh approximation: the twins towers are
+    VPU-transcendental-bound on exact-erf GELU (~29M elems/MLP — BENCH.md
+    FlowFormer table), so this trades a ~1e-3-relative activation delta
+    for throughput. Perf experiment; bench-measure before defaulting."""
+    import os
+
+    return nn.gelu(x, approximate=os.environ.get("FF_FAST_GELU", "0") != "0")
+
+
 def _dense(features, name, dtype, use_bias=True):
     return nn.Dense(features, use_bias=use_bias, dtype=dtype,
                     param_dtype=jnp.float32, precision=HIGH, name=name)
@@ -43,7 +55,7 @@ class TwinsMlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = _dense(self.hidden, "fc1", self.dtype)(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         return _dense(self.dim, "fc2", self.dtype)(x)
 
 
@@ -77,11 +89,37 @@ class LocallyGroupedAttn(nn.Module):
 
     @nn.compact
     def __call__(self, x, size: Tuple[int, int]):
+        import os
+
         b, n, c = x.shape
         h, w = size
         nh = self.num_heads
         hd = c // nh
         scale = hd**-0.5
+        ws = self.ws
+
+        if os.environ.get("FF_LSA_V2", "0") != "0":
+            # Transpose-minimal form (same math as below; see the twin in
+            # latent_cost.LocallyGroupedAttnRPEContext): the qkv dense is
+            # token-pointwise so it commutes with the window permutation —
+            # apply it in natural layout, partition once, split heads
+            # implicitly in the einsums. Pad BEFORE the dense so padded
+            # tokens carry the bias exactly as the default path's
+            # pad-then-dense does.
+            xg = x.reshape(b, h, w, c)
+            xg = jnp.pad(xg, ((0, 0), (0, (ws - h % ws) % ws),
+                              (0, (ws - w % ws) % ws), (0, 0)))
+            qkv = _dense(3 * c, "qkv", self.dtype)(xg)
+            xw, (hp, wp) = _window_partition(qkv, ws)
+            xw = xw.reshape(b, -1, ws * ws, 3, nh, hd)
+            q, k, v = xw[..., 0, :, :], xw[..., 1, :, :], xw[..., 2, :, :]
+            attn = jnp.einsum("bwihd,bwjhd->bwhij", q, k,
+                              precision=HIGH) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bwhij,bwjhd->bwihd", attn, v, precision=HIGH)
+            out = out.reshape(b, -1, ws * ws, c)
+            out = _window_merge(out, hp, wp, ws, h, w).reshape(b, n, c)
+            return _dense(c, "proj", self.dtype)(out)
 
         xw, (hp, wp) = _window_partition(x.reshape(b, h, w, c), self.ws)
         qkv = _dense(3 * c, "qkv", self.dtype)(xw)
