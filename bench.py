@@ -23,11 +23,31 @@ TARGET_FACTOR = 2.0
 
 
 def main():
+    import os
+    import threading
+
     import jax
 
     # persistent XLA compile cache: repeat runs skip the ~4-8 min compile
     jax.config.update("jax_compilation_cache_dir", "/tmp/ff_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # Fail fast if the TPU tunnel is dead: backend init then HANGS forever
+    # at ~0% CPU (observed for hours at a time) — without this watchdog a
+    # driver-run bench would wedge instead of erroring. Covers only device
+    # discovery; the multi-minute first compile starts after the cancel.
+    def _die():
+        print("bench.py: TPU backend init exceeded 180s — tunnel down?",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    watchdog = threading.Timer(180.0, _die)
+    watchdog.daemon = True
+    watchdog.start()
+    n_dev = len(jax.devices())
+    watchdog.cancel()
+    assert n_dev >= 1
+
     import jax.numpy as jnp
 
     from focusflow_official_tpu.models import FFRaft, FFRaftConfig

@@ -4,6 +4,9 @@ bf16, B=1). FF-RAFT uses the exact bench.py configuration; PWC/FlowFormer
 mirror it. Prints one line per family.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_families.py
+           [raft] [pwc] [flowformer]
+No args = all three. A subset skips the others' multi-minute cold compiles —
+used for env-knob A/Bs (FF_LSA_V2, FF_FAST_GELU, FF_CORR_Q8) on one family.
 (BENCH.md methodology: N queued dispatches ended by one scalar fetch.)
 """
 import os
@@ -56,24 +59,31 @@ def bench(model, variables, name, args, iters=None):
     print(f"{name}: {1.0 / best:.2f} fps/chip ({best * 1e3:.1f} ms)")
 
 
-# FF-RAFT (the headline bench.py protocol: /8-padded, 12 iters)
-rcfg = FFRaftConfig(fusion="parallel", fusion_type="1x1conv", fuse_cnet=True,
-                    iters=12, compute_dtype="bfloat16", corr_impl="auto")
-raft = FFRaft(rcfg)
+_sel = [a for a in sys.argv[1:] if not a.startswith("-")]
+_want = lambda fam: not _sel or fam in _sel
+
 pad = InputPadder(img1.shape)
-rargs = pad.pad(img1, img2, m1, m2)
-vr = raft.init(jax.random.PRNGKey(0), *rargs, iters=1)
-bench(raft, vr, "ff-raft_1024x436_12iter_bf16", rargs, iters=12)
 
-pwc = FFPWCNet(FFRaftConfig(fusion="parallel", fusion_type="1x1conv",
-                            compute_dtype="bfloat16"))
-vp = pwc.init(jax.random.PRNGKey(0), img1, img2, m1, m2)
-bench(pwc, vp, "ff-pwcnet_1024x436_bf16", (img1, img2, m1, m2))
+if _want("raft"):
+    # FF-RAFT (the headline bench.py protocol: /8-padded, 12 iters)
+    rcfg = FFRaftConfig(fusion="parallel", fusion_type="1x1conv", fuse_cnet=True,
+                        iters=12, compute_dtype="bfloat16", corr_impl="auto")
+    raft = FFRaft(rcfg)
+    rargs = pad.pad(img1, img2, m1, m2)
+    vr = raft.init(jax.random.PRNGKey(0), *rargs, iters=1)
+    bench(raft, vr, "ff-raft_1024x436_12iter_bf16", rargs, iters=12)
 
-fcfg = FlowFormerConfig(fusion="parallel", decoder_depth=12,
-                        compute_dtype="bfloat16", corr_impl="auto")
-ff = FFFlowFormer(fcfg)
-vf = ff.init(jax.random.PRNGKey(0), img1[:, :64, :128], img2[:, :64, :128],
-             m1[:, :64, :128], m2[:, :64, :128])
-fargs = pad.pad(img1, img2, m1, m2)
-bench(ff, vf, "ff-flowformer_1024x436_12iter_bf16", fargs)
+if _want("pwc"):
+    pwc = FFPWCNet(FFRaftConfig(fusion="parallel", fusion_type="1x1conv",
+                                compute_dtype="bfloat16"))
+    vp = pwc.init(jax.random.PRNGKey(0), img1, img2, m1, m2)
+    bench(pwc, vp, "ff-pwcnet_1024x436_bf16", (img1, img2, m1, m2))
+
+if _want("flowformer"):
+    fcfg = FlowFormerConfig(fusion="parallel", decoder_depth=12,
+                            compute_dtype="bfloat16", corr_impl="auto")
+    ff = FFFlowFormer(fcfg)
+    vf = ff.init(jax.random.PRNGKey(0), img1[:, :64, :128], img2[:, :64, :128],
+                 m1[:, :64, :128], m2[:, :64, :128])
+    fargs = pad.pad(img1, img2, m1, m2)
+    bench(ff, vf, "ff-flowformer_1024x436_12iter_bf16", fargs)
