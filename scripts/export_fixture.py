@@ -41,10 +41,13 @@ def main():
     template = model.init(jax.random.PRNGKey(0), zeros(3), zeros(3),
                           zeros(1), zeros(1), iters=1)
 
+    # norm-free models (PWC) have no batch_stats; the trainer's export has
+    # no such key either, and orbax rejects an empty-dict mismatch
+    item = {"params": template["params"]}
+    if template.get("batch_stats", {}):
+        item["batch_stats"] = template["batch_stats"]
     variables = ocp.StandardCheckpointer().restore(
-        os.path.abspath(args.export_dir),
-        {"params": template["params"],
-         "batch_stats": template.get("batch_stats", {})})
+        os.path.abspath(args.export_dir), item)
     flat = traverse_util.flatten_dict(dict(variables))
     np.savez_compressed(
         args.out,

@@ -1,6 +1,11 @@
 """Build a synthetic FlyingChairs-layout dataset for e2e smoke runs.
 
-Usage: make_smoke_data.py [root] [--pairs N] [--rich]
+Usage: make_smoke_data.py [root] [--pairs N] [--rich] [--size H W]
+
+`--size` (default 96 128): frame size. PWC-family fixture training needs
+larger frames (e.g. 192 256) — its 6-level /64 pyramid is degenerate at
+the default smoke size (level 6 = 1x2 px) and the net underfits to the
+data mean.
 
 Default (8 pairs, integer-shifted noise frames) matches the original smoke
 tree. `--rich` writes textured frames (smoothed noise, so the correlation
@@ -21,6 +26,11 @@ argv = [a for a in sys.argv[1:]]
 root = argv[0] if argv and not argv[0].startswith('--') else '/tmp/ff_smoke'
 n = int(argv[argv.index('--pairs') + 1]) if '--pairs' in argv else 8
 rich = '--rich' in argv
+if '--size' in argv:
+    _si = argv.index('--size')
+    SIZE = (int(argv[_si + 1]), int(argv[_si + 2]))
+else:
+    SIZE = (96, 128)
 data = os.path.join(root, 'FlyingChairs_release', 'data')
 maskd = os.path.join(root, 'mask', 'FlyingChairs_release', 'orb')
 os.makedirs(data, exist_ok=True); os.makedirs(maskd, exist_ok=True)
@@ -61,7 +71,7 @@ def rich_pair(h, w):
 ids = []
 n_val = max(2, n // 8)
 for i in range(1, n + 1):
-    h, w = 96, 128
+    h, w = SIZE
     if rich:
         img1, img2, flow = rich_pair(h, w)
     else:
