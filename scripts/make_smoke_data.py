@@ -1,6 +1,7 @@
 """Build a synthetic FlyingChairs-layout dataset for e2e smoke runs.
 
 Usage: make_smoke_data.py [root] [--pairs N] [--rich] [--size H W]
+       [--motion affine|shift]
 
 `--size` (default 96 128): frame size. PWC-family fixture training needs
 larger frames (e.g. 192 256) — its 6-level /64 pyramid is degenerate at
@@ -14,6 +15,13 @@ warp of the first with the matching dense GT flow — a learnable-but-not-
 memorizable signal used to train the `tests/fixtures/trained_smoke.npz`
 gate weights further than the shift-only set allows (which a few hundred
 steps already overfit — BENCH.md round 3).
+
+`--motion shift` (with `--rich`) restricts the warp to pure subpixel
+translation (ang=0, scale=1, t in [-4, 4]^2). PWC-family fixtures use
+this: the coarse-to-fine /64 pyramid converges on uniform translation in
+a few hundred steps, where the general affine field needs PWC's full
+long schedule (the reference trains it for ~1M steps) — see
+tests/test_trained_gates_pwc.py.
 """
 import os, sys
 import numpy as np
@@ -26,6 +34,8 @@ argv = [a for a in sys.argv[1:]]
 root = argv[0] if argv and not argv[0].startswith('--') else '/tmp/ff_smoke'
 n = int(argv[argv.index('--pairs') + 1]) if '--pairs' in argv else 8
 rich = '--rich' in argv
+motion = argv[argv.index('--motion') + 1] if '--motion' in argv else 'affine'
+assert motion in ('affine', 'shift'), motion
 if '--size' in argv:
     _si = argv.index('--size')
     SIZE = (int(argv[_si + 1]), int(argv[_si + 2]))
@@ -51,9 +61,13 @@ def rich_pair(h, w):
         img1 += gain * cv2.GaussianBlur(base, (0, 0), sigma)
     img1 -= img1.min(); img1 *= 255.0 / max(img1.max(), 1e-6)
     # small random affine around the center: rotation + scale + shift
-    ang = rng.uniform(-4, 4)
-    scale = rng.uniform(0.96, 1.04)
-    t = rng.uniform(-3, 3, size=2)
+    # (--motion shift: translation only, but still subpixel + exact GT)
+    if motion == 'shift':
+        ang, scale, t = 0.0, 1.0, rng.uniform(-4, 4, size=2)
+    else:
+        ang = rng.uniform(-4, 4)
+        scale = rng.uniform(0.96, 1.04)
+        t = rng.uniform(-3, 3, size=2)
     S = cv2.getRotationMatrix2D((w / 2, h / 2), ang, scale)
     S[:, 2] += t
     img2 = cv2.warpAffine(img1, S, (w, h),
