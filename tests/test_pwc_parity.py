@@ -101,6 +101,29 @@ def test_backwarp_parity():
     np.testing.assert_allclose(to_nchw(np.asarray(got)), want, atol=1e-5)
 
 
+def test_backwarp_flow_gradient_parity():
+    """d(loss)/d(flow) through the warp vs torch autograd through the
+    reference backwarp. PWC training optimizes the flow estimate THROUGH
+    the warp's sampling coordinates — a path no RAFT-family test
+    differentiates (RAFT's lookup consumes flow via the corr volume
+    instead), so forward parity alone would not catch a wrong or
+    stopped coordinate gradient."""
+    img = RNG.randn(2, 4, 13, 17).astype(np.float32)
+    flow = (RNG.randn(2, 2, 13, 17) * 1.5).astype(np.float32)
+    cot = RNG.randn(2, 4, 13, 17).astype(np.float32)
+
+    g_nhwc = jnp.asarray(to_nhwc(cot))
+    f = lambda fl: (our_backwarp(jnp.asarray(to_nhwc(img)), fl) * g_nhwc).sum()
+    ours = np.asarray(jax.grad(f)(jnp.asarray(to_nhwc(flow))))
+
+    tflow = torch.from_numpy(flow).requires_grad_(True)
+    loss = (_cpu_backwarp(torch.from_numpy(img), tflow)
+            * torch.from_numpy(cot)).sum()
+    loss.backward()
+    want = tflow.grad.numpy()
+    np.testing.assert_allclose(to_nchw(ours), want, atol=5e-5)
+
+
 @requires_reference
 def test_vanilla_pwcnet_parity(ref_pwc_modules):
     ref_pwcnet, _ = ref_pwc_modules
