@@ -11,6 +11,7 @@ op-level checks can be tight.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -100,3 +101,53 @@ def test_spatially_sharded_forward_executes():
     denom = np.abs(want).mean() + 1e-6
     assert np.abs(got - want).mean() / denom < 1.0, (
         np.abs(got - want).mean(), denom)
+
+
+@pytest.mark.slow
+def test_hybrid_dp_sp_forward_trained():
+    """2-D mesh (data=4, model=2): batch sharded over `data` AND the corr
+    volume query-sharded over `model`, in ONE program — the dp x sp hybrid
+    GSPMD composition no 1-D test exercises. Trained fixture weights make
+    the comparison tight (untrained iterations amplify float noise
+    chaotically; see the module docstring)."""
+    from test_trained_gates import _cfg as trained_cfg
+    from test_trained_gates import load_trained_variables
+
+    try:
+        variables = load_trained_variables()
+    except FileNotFoundError:  # pragma: no cover
+        pytest.skip("trained fixture not built")
+
+    from focusflow_official_tpu.train.mesh import shard_batch
+
+    mesh = make_mesh(jax.devices()[:8], model_axis=2)  # data=4, model=2
+    cfg = trained_cfg(corr_impl="fused", compute_dtype="float32")
+    model = FFRaft(cfg)
+
+    rng = np.random.RandomState(7)
+    args = (
+        jnp.asarray((rng.rand(4, 96, 128, 3) * 255).astype(np.float32)),
+        jnp.asarray((rng.rand(4, 96, 128, 3) * 255).astype(np.float32)),
+        jnp.asarray(((rng.rand(4, 96, 128, 1) > 0.97) * 255).astype(np.float32)),
+        jnp.asarray(((rng.rand(4, 96, 128, 1) > 0.97) * 255).astype(np.float32)),
+    )
+
+    @jax.jit
+    def fwd(v, a, b, c, d):
+        _, up = model.apply(v, a, b, c, d, iters=6, test_mode=True)
+        return up
+
+    want = np.asarray(fwd(variables, *args))
+
+    variables_r = jax.device_put(variables, replicate(mesh))
+    args_r = [jax.device_put(a, shard_batch(mesh)) for a in args]
+    with spatial_sharding(mesh):
+        @jax.jit
+        def fwd_hybrid(v, a, b, c, d):
+            _, up = model.apply(v, a, b, c, d, iters=6, test_mode=True)
+            return up
+
+        got = np.asarray(fwd_hybrid(variables_r, *args_r))
+
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-4)
