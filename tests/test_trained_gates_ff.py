@@ -1,0 +1,200 @@
+"""Trained-weight gates for the FF-FlowFormer family.
+
+Completes the round-3 trained-gate matrix (FF-RAFT: `test_trained_gates.py`,
+FF-PWCNet: `test_trained_gates_pwc.py`): the fixture
+`tests/fixtures/trained_smoke_ff.npz` is `configs/smoke_flowformer.yaml`
+(encoder_depth 1, decoder_depth 2, GMA) trained via `cli/train.py` on the
+`make_smoke_data --rich` set (textured affine-warp pairs with exact dense
+GT). Like RAFT — and unlike PWC's coarse-to-fine pyramid — the recurrent
+lookup decoder learns the affine field in a few hundred steps, so the
+gates below run with non-chaotic weights: the bf16 fast path at full
+refinement depth, and the jax->torch exporter against the reference eval
+protocol (`/root/reference/core/models/ff-flowformer/evaluate.py`).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import requires_reference
+from flax import traverse_util
+
+from focusflow_official_tpu.config import (flowformer_config_from_yaml,
+                                           load_yaml_config)
+from focusflow_official_tpu.models.ff_flowformer import FFFlowFormer
+from test_flowformer_parity import ref_build_flowformer  # noqa: F401
+
+pytestmark = pytest.mark.slow
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "trained_smoke_ff.npz")
+YAML = os.path.join(os.path.dirname(__file__), os.pardir, "configs",
+                    "smoke_flowformer.yaml")
+
+
+def _cfg(decoder_depth=None, **kw):
+    import dataclasses
+
+    cfg = flowformer_config_from_yaml(load_yaml_config(YAML), **kw)
+    if decoder_depth is not None:
+        # `iters` is a no-op for FlowFormer (the scan length is static);
+        # refinement depth is part of the config. Params are shared across
+        # iterations, so the fixture tree is depth-independent.
+        cfg = dataclasses.replace(cfg, decoder_depth=decoder_depth)
+    return cfg
+
+
+def load_trained_variables():
+    raw = np.load(FIXTURE)
+    flat = {tuple(k.split("/")): jnp.asarray(raw[k], jnp.float32)
+            for k in raw.files}
+    return traverse_util.unflatten_dict(flat)
+
+
+def _textured_pair(seed=0, h=64, w=96, dx=3, dy=-2):
+    """Smoothed-noise texture + integer-shift second frame (the twins
+    patch embed low-passes at stride 8 -> raw white noise carries no
+    correlation signal; band-limited texture does)."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    base = rng.rand(h, w, 3).astype(np.float32)
+    img1 = np.zeros_like(base)
+    for sigma, gain in ((1.5, 1.0), (5.0, 2.0), (12.0, 4.0)):
+        img1 += gain * cv2.GaussianBlur(base, (0, 0), sigma)
+    img1 -= img1.min()
+    img1 *= 255.0 / max(img1.max(), 1e-6)
+    img2 = np.roll(np.roll(img1, dy, 0), dx, 1)
+    m1 = ((rng.rand(h, w, 1) > 0.97) * 255).astype(np.float32)
+    m2 = ((rng.rand(h, w, 1) > 0.97) * 255).astype(np.float32)
+    return (img1[None], img2[None], m1[None], m2[None], (dx, dy))
+
+
+def test_fixture_tree_matches_model():
+    v = load_trained_variables()
+    model = FFFlowFormer(_cfg())
+    i1, i2, m1, m2, _ = _textured_pair()
+    template = model.init(jax.random.PRNGKey(0),
+                          *map(jnp.asarray, (i1, i2, m1, m2)))
+    assert set(traverse_util.flatten_dict(template)) == set(
+        traverse_util.flatten_dict(v))
+
+
+def test_trained_net_recovers_flow():
+    """The trained decoder regresses unseen synthetic motion — the
+    precondition for the gates below meaning anything."""
+    v = load_trained_variables()
+    model = FFFlowFormer(_cfg(decoder_depth=8))
+    i1, i2, m1, m2, (dx, dy) = _textured_pair(seed=5)
+    flow = np.asarray(model.apply(v, *map(jnp.asarray, (i1, i2, m1, m2)),
+                                  test_mode=True)[0])
+    epe = np.sqrt(((flow[0, 8:-8, 8:-8] - np.array([dx, dy])) ** 2).sum(-1))
+    # calibration on THIS probe: untrained init 304.8 px, the 700-step
+    # fixture 3.37 px (zero-flow baseline 3.6) — same bar as the RAFT gate
+    assert float(epe.mean()) < 6.0, float(epe.mean())
+
+
+def test_bf16_fast_path_trained():
+    """bf16 + fused lookup vs f32 + xla lookup, trained weights, 8 iters."""
+    v = load_trained_variables()
+    i1, i2, m1, m2, _ = _textured_pair(seed=6)
+    args = list(map(jnp.asarray, (i1, i2, m1, m2)))
+    f32 = np.asarray(FFFlowFormer(_cfg(decoder_depth=8, corr_impl="xla")).apply(
+        v, *args, test_mode=True)[0])
+    fast = np.asarray(FFFlowFormer(
+        _cfg(decoder_depth=8, compute_dtype="bfloat16")).apply(
+        v, *args, test_mode=True)[0])
+    diff = np.abs(fast - f32)
+    mag = np.abs(f32).mean()
+    assert float(diff.mean()) < 0.05 * max(float(mag), 1.0), (
+        float(diff.mean()), float(mag))
+    assert float(np.median(diff)) < 0.1
+
+
+@requires_reference
+def test_eval_protocol_same_weights_both_stacks_ff(ref_build_flowformer):  # noqa: F811
+    """AEPE + keypoint-EPE through our eval stack vs the reference protocol
+    run in torch with the SAME trained weights (jax->torch exporter)."""
+    from argparse import Namespace
+
+    import torch
+
+    from focusflow_official_tpu.compat.torch_import import (
+        variables_to_torch_state_dict)
+    from focusflow_official_tpu.train.evaluate import validate_chairs
+
+    v = load_trained_variables()
+    model = FFFlowFormer(_cfg(decoder_depth=8))
+
+    samples = []
+    for s in range(3):
+        i1, i2, m1, m2, (dx, dy) = _textured_pair(seed=30 + s, h=64, w=96)
+        flow = np.zeros((64, 96, 2), np.float32)
+        flow[..., 0], flow[..., 1] = dx, dy
+        samples.append({"image1": i1[0], "image2": i2[0], "mask1": m1[0],
+                        "mask2": m2[0], "flow": flow})
+
+    class DS:
+        def __len__(self):
+            return len(samples)
+
+        def __getitem__(self, i):
+            return samples[i]
+
+    ours = validate_chairs(model, v, DS(), iters=8)
+
+    ycfg = load_yaml_config(YAML)
+    m = ycfg.MODEL
+    ref_cfg = Namespace(
+        FUSION="parallel", MASK_MODAL="point", MASK_CHANNEL=3, MASK_DILATE=31,
+        pe=m.pe, dropout=0.0, encoder_latent_dim=m.encoder_latent_dim,
+        query_latent_dim=m.query_latent_dim,
+        cost_latent_input_dim=m.cost_latent_input_dim,
+        cost_latent_token_num=m.cost_latent_token_num,
+        cost_latent_dim=m.cost_latent_dim, predictor_dim=128,
+        motion_feature_dim=209, arc_type="transformer",
+        cost_heads_num=m.cost_heads_num, pretrain=True, context_concat=False,
+        encoder_depth=m.encoder_depth, feat_cross_attn=False,
+        patch_size=m.patch_size, patch_embed="single", no_pe=False,
+        gma="GMA", kernel_size=9, rm_res=True, vert_c_dim=m.vert_c_dim,
+        cost_encoder_res=True, cnet="twins", fnet="twins", only_global=False,
+        add_flow_token=True, use_mlp=False, vertical_conv=False,
+        decoder_depth=8, critical_params=[], pretrain_model=None,
+        load_former=None, ALT_CORR=False,
+    )
+    tmodel = ref_build_flowformer(ref_cfg)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(a))
+          for k, a in variables_to_torch_state_dict(v).items()}
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    # rel_ind is a DERIVED buffer (`gma.py:11-18`: an arange-delta table
+    # from max_pos_size, input-independent) — the freshly constructed
+    # torch model already holds the exact value, so leaving it unloaded
+    # is lossless. It has no jax-side analog to export (we compute the
+    # relative-position table inline).
+    assert missing == ["memory_decoder.att.pos_emb.rel_ind"], missing
+    assert not unexpected, unexpected
+    tmodel.eval()
+
+    epes, mepes = [], []
+    t = lambda x: torch.from_numpy(x[None].transpose(0, 3, 1, 2).copy())
+    with torch.no_grad():
+        for s in samples:
+            pr = tmodel(t(s["image1"]), t(s["image2"]), t(s["mask1"]),
+                        t(s["mask2"]))
+            # reference eval uses flow_pr[0] (the vanilla-eval quirk)
+            pr = pr[0][0].numpy().transpose(1, 2, 0)
+            epe = np.sqrt(((pr - s["flow"]) ** 2).sum(-1))
+            epes.append(epe.reshape(-1))
+            sel = s["mask1"][..., 0] > 0.5
+            mepes.append(epe[sel].mean())
+    torch_aepe = float(np.concatenate(epes).mean())
+    torch_mepe = float(np.mean(mepes))
+
+    assert abs(ours["chairs"] - torch_aepe) < 0.05 * max(torch_aepe, 1.0), (
+        ours, torch_aepe)
+    assert abs(ours["chairs-orb"] - torch_mepe) < 0.05 * max(torch_mepe, 1.0), (
+        ours, torch_mepe)
