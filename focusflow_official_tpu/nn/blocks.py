@@ -21,6 +21,15 @@ from .norm import Norm
 
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
+# torch Conv2d DEFAULT kernel init: kaiming_uniform(a=sqrt(5)) == gain^2=1/3
+# fan-in uniform -> U(+-1/sqrt(fan_in)). The PWC family must use this: the
+# reference has NO init loop there (unlike the RAFT extractor's explicit
+# kaiming loop, `extractor.py:150-157`), and kaiming fan-out through PWC's
+# DenseNet flow heads + coarse-to-fine feedback amplifies the init-time flow
+# by ~20x PER LEVEL (measured: 8.6e7 px EPE at init, which then trains into
+# an input-insensitive predict-the-mean collapse).
+torch_default = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
 
 def torch_bias_init(key, shape, dtype, fan_in: int):
     bound = 1.0 / np.sqrt(fan_in)
@@ -38,8 +47,11 @@ def conv2d(
     name: str | None = None,
     dtype=jnp.float32,
     in_features: int | None = None,
+    kernel_init=None,
 ) -> nn.Conv:
     """A torch-convention Conv2d: explicit symmetric zero padding (default k//2)."""
+    if kernel_init is None:
+        kernel_init = kaiming_out
     if isinstance(kernel, int):
         kernel = (kernel, kernel)
     if isinstance(stride, int):
@@ -63,7 +75,7 @@ def conv2d(
         strides=stride,
         padding=pad,
         use_bias=use_bias,
-        kernel_init=kaiming_out,
+        kernel_init=kernel_init,
         bias_init=bias_init,
         dtype=dtype,
         param_dtype=jnp.float32,
@@ -118,6 +130,7 @@ def conv_transpose2d(
     stride: int = 2,
     name: str | None = None,
     dtype=jnp.float32,
+    kernel_init=None,
 ) -> nn.ConvTranspose:
     """torch ConvTranspose2d(k=4, s=2, p=1) equivalent (exact 2x upsample).
 
@@ -132,7 +145,7 @@ def conv_transpose2d(
         strides=(stride, stride),
         padding=((2, 2), (2, 2)),
         transpose_kernel=True,
-        kernel_init=kaiming_out,
+        kernel_init=kernel_init if kernel_init is not None else kaiming_out,
         dtype=dtype,
         param_dtype=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,

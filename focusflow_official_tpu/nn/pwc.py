@@ -7,6 +7,15 @@ pyramid (16/32/64/96/128/196), coarse-to-fine DenseNet-style decoders fed
 by the 81-channel local cost volume, and a dilated-conv context refiner.
 Module names mirror the torch attribute names (netOne_0 = netOne.0 ...) for
 checkpoint import.
+
+Init: torch Conv2d DEFAULTS (`blocks.torch_default`), because the reference
+PWC family has no init loop (unlike the RAFT extractor's kaiming loop).
+This matters: kaiming fan-out through the DenseNet flow heads amplifies the
+init-time flow ~20x per level and the coarse-to-fine feedback compounds it
+to ~1e8 px, after which training collapses into an input-insensitive
+predict-the-mean minimum (round-3 finding; `tests/test_pwc_init.py`).
+FusionUnit convs (shared with the RAFT CCE) keep kaiming fan-out — a
+documented deviation; they sit in the feature path, not the flow feedback.
 """
 
 from __future__ import annotations
@@ -19,7 +28,7 @@ import jax.numpy as jnp
 
 from ..ops.local_corr import local_corr
 from ..ops.warp import backwarp
-from .blocks import conv2d, conv_transpose2d, kaiming_out
+from .blocks import conv2d, conv_transpose2d, torch_default
 from .fusion_units import FusionUnit
 
 _LEVEL_DIMS = [16, 32, 64, 96, 128, 196]
@@ -36,9 +45,10 @@ def _stage(parent_compact_self, x, out_dim: int, prefix: str, dtype):
     Plain function so conv params sit directly on the caller's scope with
     torch-compatible names (netOne_0 = netOne.0, ...).
     """
-    x = lrelu(conv2d(out_dim, 3, 2, 1, name=f"{prefix}_0", dtype=dtype)(x))
-    x = lrelu(conv2d(out_dim, 3, 1, 1, name=f"{prefix}_2", dtype=dtype)(x))
-    x = lrelu(conv2d(out_dim, 3, 1, 1, name=f"{prefix}_4", dtype=dtype)(x))
+    ki = torch_default
+    x = lrelu(conv2d(out_dim, 3, 2, 1, name=f"{prefix}_0", dtype=dtype, kernel_init=ki)(x))
+    x = lrelu(conv2d(out_dim, 3, 1, 1, name=f"{prefix}_2", dtype=dtype, kernel_init=ki)(x))
+    x = lrelu(conv2d(out_dim, 3, 1, 1, name=f"{prefix}_4", dtype=dtype, kernel_init=ki)(x))
     return x
 
 
@@ -99,17 +109,21 @@ class PWCDecoder(nn.Module):
             feat = volume
         else:
             prev_flow, prev_feat = prev
-            flow = conv_transpose2d(2, name="netUpflow", dtype=d)(prev_flow)
-            feat_up = conv_transpose2d(2, name="netUpfeat", dtype=d)(prev_feat)
+            flow = conv_transpose2d(2, name="netUpflow", dtype=d,
+                                    kernel_init=torch_default)(prev_flow)
+            feat_up = conv_transpose2d(2, name="netUpfeat", dtype=d,
+                                       kernel_init=torch_default)(prev_feat)
             warped = backwarp(ten_two, (flow * _BACKWARP_SCALE[self.level]).astype(jnp.float32))
             volume = lrelu(local_corr(ten_one, warped.astype(d), radius=4).astype(d))
             feat = jnp.concatenate([volume, ten_one, flow, feat_up], axis=-1)
 
         for name, c in (("netOne", 128), ("netTwo", 128), ("netThr", 96),
                         ("netFou", 64), ("netFiv", 32)):
-            y = lrelu(conv2d(c, 3, 1, 1, name=f"{name}_0", dtype=d)(feat))
+            y = lrelu(conv2d(c, 3, 1, 1, name=f"{name}_0", dtype=d,
+                             kernel_init=torch_default)(feat))
             feat = jnp.concatenate([y, feat], axis=-1)
-        flow_out = conv2d(2, 3, 1, 1, name="netSix_0", dtype=d)(feat)
+        flow_out = conv2d(2, 3, 1, 1, name="netSix_0", dtype=d,
+                          kernel_init=torch_default)(feat)
         return flow_out, feat
 
 
@@ -127,7 +141,7 @@ class PWCRefiner(nn.Module):
             x = nn.Conv(
                 c, (3, 3), strides=(1, 1),
                 padding=((dil, dil), (dil, dil)), kernel_dilation=(dil, dil),
-                kernel_init=kaiming_out, dtype=d, param_dtype=jnp.float32,
+                kernel_init=torch_default, dtype=d, param_dtype=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST, name=f"netMain_{2 * i}",
             )(x)
             if i < len(spec) - 1:
