@@ -4,6 +4,14 @@ NHWC equivalents of the reference update modules
 (`/root/reference/core/models/ff-raft/FF_RAFT_Core/update.py`). These run
 inside the `lax.scan` refinement loop, so every conv here is on the training
 and inference hot path; XLA fuses the gate nonlinearities into the convs.
+
+Init: torch Conv2d DEFAULTS (`blocks.torch_default`) — the reference's
+kaiming init loops live in the encoders (`extractor.py:150-157`,
+`parallel_fusion.py:193-195`); update.py modules are left at torch
+defaults there, and the FlowFormer decoder/GRU (which reuses FlowHead and
+SepConvGRU here) likewise. Kaiming fan-out on the flow head inflated the
+init-time per-iteration delta-flow ~25x (cf. the PWC init collapse,
+tests/test_pwc_init.py).
 """
 
 from __future__ import annotations
@@ -14,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .blocks import conv2d, kaiming_out, torch_bias_init
+from .blocks import conv2d, torch_bias_init, torch_default
 
 
 class ChunkFoldedConv1x1(nn.Module):
@@ -39,7 +47,7 @@ class ChunkFoldedConv1x1(nn.Module):
     def __call__(self, chunks) -> jnp.ndarray:
         k = 2 * self.corr_radius + 1
         cin, cout = self.corr_levels * k * k, self.features
-        kernel = self.param("kernel", kaiming_out, (1, 1, cin, cout), jnp.float32)
+        kernel = self.param("kernel", torch_default, (1, 1, cin, cout), jnp.float32)
         bias = self.param(
             "bias",
             lambda key, shape, dtype=jnp.float32: torch_bias_init(key, shape, dtype, cin),
@@ -87,9 +95,9 @@ class FlowHead(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = self.dtype
-        x = conv2d(self.hidden_dim, 3, 1, 1, name="conv1", dtype=d, in_features=self.input_dim)(x)
+        x = conv2d(self.hidden_dim, 3, 1, 1, name="conv1", dtype=d, in_features=self.input_dim, kernel_init=torch_default)(x)
         x = nn.relu(x)
-        return conv2d(2, 3, 1, 1, name="conv2", dtype=d, in_features=self.hidden_dim)(x)
+        return conv2d(2, 3, 1, 1, name="conv2", dtype=d, in_features=self.hidden_dim, kernel_init=torch_default)(x)
 
 
 class ConvGRU(nn.Module):
@@ -102,10 +110,10 @@ class ConvGRU(nn.Module):
         d = self.dtype
         cin = self.hidden_dim + self.input_dim
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(conv2d(self.hidden_dim, 3, 1, 1, name="convz", dtype=d, in_features=cin)(hx))
-        r = nn.sigmoid(conv2d(self.hidden_dim, 3, 1, 1, name="convr", dtype=d, in_features=cin)(hx))
+        z = nn.sigmoid(conv2d(self.hidden_dim, 3, 1, 1, name="convz", dtype=d, in_features=cin, kernel_init=torch_default)(hx))
+        r = nn.sigmoid(conv2d(self.hidden_dim, 3, 1, 1, name="convr", dtype=d, in_features=cin, kernel_init=torch_default)(hx))
         q = nn.tanh(
-            conv2d(self.hidden_dim, 3, 1, 1, name="convq", dtype=d, in_features=cin)(
+            conv2d(self.hidden_dim, 3, 1, 1, name="convq", dtype=d, in_features=cin, kernel_init=torch_default)(
                 jnp.concatenate([r * h, x], axis=-1)
             )
         )
@@ -127,10 +135,10 @@ class SepConvGRU(nn.Module):
 
         for suffix, kern, pad in (("1", (1, 5), (0, 2)), ("2", (5, 1), (2, 0))):
             hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(conv2d(hd, kern, 1, pad, name=f"convz{suffix}", dtype=d, in_features=cin)(hx))
-            r = nn.sigmoid(conv2d(hd, kern, 1, pad, name=f"convr{suffix}", dtype=d, in_features=cin)(hx))
+            z = nn.sigmoid(conv2d(hd, kern, 1, pad, name=f"convz{suffix}", dtype=d, in_features=cin, kernel_init=torch_default)(hx))
+            r = nn.sigmoid(conv2d(hd, kern, 1, pad, name=f"convr{suffix}", dtype=d, in_features=cin, kernel_init=torch_default)(hx))
             q = nn.tanh(
-                conv2d(hd, kern, 1, pad, name=f"convq{suffix}", dtype=d, in_features=cin)(
+                conv2d(hd, kern, 1, pad, name=f"convq{suffix}", dtype=d, in_features=cin, kernel_init=torch_default)(
                     jnp.concatenate([r * h, x], axis=-1)
                 )
             )
@@ -151,7 +159,7 @@ def _convc1(features, corr_levels, corr_radius, dtype, flow, corr):
                                  name="convc1", dtype=dtype)(corr)
         return cor.reshape(b, h, w, features)
     return conv2d(features, 1, 1, 0, name="convc1", dtype=dtype,
-                  in_features=cor_planes)(corr)
+                  in_features=cor_planes, kernel_init=torch_default)(corr)
 
 
 class SmallMotionEncoder(nn.Module):
@@ -164,10 +172,10 @@ class SmallMotionEncoder(nn.Module):
         d = self.dtype
         cor = nn.relu(_convc1(96, self.corr_levels, self.corr_radius, d,
                               flow, corr))
-        flo = nn.relu(conv2d(64, 7, 1, 3, name="convf1", dtype=d, in_features=2)(flow))
-        flo = nn.relu(conv2d(32, 3, 1, 1, name="convf2", dtype=d, in_features=64)(flo))
+        flo = nn.relu(conv2d(64, 7, 1, 3, name="convf1", dtype=d, in_features=2, kernel_init=torch_default)(flow))
+        flo = nn.relu(conv2d(32, 3, 1, 1, name="convf2", dtype=d, in_features=64, kernel_init=torch_default)(flo))
         out = nn.relu(
-            conv2d(80, 3, 1, 1, name="conv", dtype=d, in_features=128)(
+            conv2d(80, 3, 1, 1, name="conv", dtype=d, in_features=128, kernel_init=torch_default)(
                 jnp.concatenate([cor, flo], axis=-1)
             )
         )
@@ -184,11 +192,11 @@ class BasicMotionEncoder(nn.Module):
         d = self.dtype
         cor = nn.relu(_convc1(256, self.corr_levels, self.corr_radius, d,
                               flow, corr))
-        cor = nn.relu(conv2d(192, 3, 1, 1, name="convc2", dtype=d, in_features=256)(cor))
-        flo = nn.relu(conv2d(128, 7, 1, 3, name="convf1", dtype=d, in_features=2)(flow))
-        flo = nn.relu(conv2d(64, 3, 1, 1, name="convf2", dtype=d, in_features=128)(flo))
+        cor = nn.relu(conv2d(192, 3, 1, 1, name="convc2", dtype=d, in_features=256, kernel_init=torch_default)(cor))
+        flo = nn.relu(conv2d(128, 7, 1, 3, name="convf1", dtype=d, in_features=2, kernel_init=torch_default)(flow))
+        flo = nn.relu(conv2d(64, 3, 1, 1, name="convf2", dtype=d, in_features=128, kernel_init=torch_default)(flo))
         out = nn.relu(
-            conv2d(128 - 2, 3, 1, 1, name="conv", dtype=d, in_features=64 + 192)(
+            conv2d(128 - 2, 3, 1, 1, name="conv", dtype=d, in_features=64 + 192, kernel_init=torch_default)(
                 jnp.concatenate([cor, flo], axis=-1)
             )
         )
@@ -232,8 +240,8 @@ class BasicUpdateBlock(nn.Module):
         delta_flow = FlowHead(self.hidden_dim, 256, name="flow_head", dtype=d)(net)
 
         # 0.25x scale balances gradients into the upsample mask (`update.py:134`).
-        mask0 = conv2d(256, 3, 1, 1, name="mask_0", dtype=d, in_features=128)
-        mask2 = conv2d(64 * 9, 1, 1, 0, name="mask_2", dtype=d, in_features=256)
+        mask0 = conv2d(256, 3, 1, 1, name="mask_0", dtype=d, in_features=128, kernel_init=torch_default)
+        mask2 = conv2d(64 * 9, 1, 1, 0, name="mask_2", dtype=d, in_features=256, kernel_init=torch_default)
 
         def mask_head(h):
             return 0.25 * mask2(nn.relu(mask0(h)))
