@@ -46,8 +46,24 @@ def main():
     item = {"params": template["params"]}
     if template.get("batch_stats", {}):
         item["batch_stats"] = template["batch_stats"]
-    variables = ocp.StandardCheckpointer().restore(
-        os.path.abspath(args.export_dir), item)
+    # Two on-disk formats: the trainer's final params-only export and the
+    # periodic CheckpointManager step dirs, which also hold opt_state (see
+    # train/checkpoints.py). Restore raw (no template) and keep only the
+    # variable collections so either works.
+    raw = ocp.StandardCheckpointer().restore(os.path.abspath(args.export_dir))
+    variables = {k: raw[k] for k in item if k in raw}
+    missing = [k for k in item if k not in variables]
+    if missing:
+        raise SystemExit(f"checkpoint lacks collections {missing}; "
+                         f"has {sorted(raw)}")
+    for k in item:
+        want = set(traverse_util.flatten_dict(item[k]))
+        got = set(traverse_util.flatten_dict(variables[k]))
+        if want != got:
+            raise SystemExit(
+                f"{k} tree mismatch vs template: only-in-ckpt "
+                f"{sorted(got - want)[:5]} only-in-template "
+                f"{sorted(want - got)[:5]}")
     flat = traverse_util.flatten_dict(dict(variables))
     np.savez_compressed(
         args.out,
