@@ -16,9 +16,13 @@ TPU-native redesign of the reference model stack
 - in test mode only the final flow is convex-upsampled; in train mode the
   scan emits every iteration's upsampled flow for the sequence loss.
 
-Unsupported-by-design (vestigial in the reference): `alternate_corr` CUDA
-path (subsumed by the Pallas lookup), 'attention'/'conv' fusion front-ends
-(`fusion.py`/`conv_fusion.py`) are provided separately in `models/frontends.py`.
+The reference's opt-in `alternate_corr` CUDA path (`corr.py:63-91`) has a
+full TPU-native analog here: `cfg.alt_corr=True` routes each iteration
+through `ops.corr.alternate_corr_lookup` — chunked MXU recompute straight
+from the feature maps, never materializing the O((HW)^2) volume (scales to
+1440p where the materialized volume OOMs the compiler; BENCH.md). The
+'attention'/'conv' fusion front-ends (`fusion.py`/`conv_fusion.py`) are
+provided separately in `models/frontends.py`.
 """
 
 from __future__ import annotations

@@ -129,8 +129,15 @@ class TestSurgery:
 
 class TestTrainStep:
     def test_loss_decreases_and_multichip(self):
-        """8-virtual-device data-parallel train step; loss should drop on a
-        fixed batch within a few steps (e2e smoke, SURVEY.md §4)."""
+        """8-virtual-device data-parallel train step; fresh-init (torch
+        defaults, see nn/update.py) training must descend on a fixed batch
+        (e2e smoke, SURVEY.md §4).
+
+        Adam's second-moment warm-up produces a transient spike around
+        steps 1-3 before steady descent (measured: 9.26 -> 18.2 -> ... ->
+        8.4 by step 16), so the gate compares the settled tail against the
+        fresh-init loss rather than step 4 vs step 0.
+        """
         assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
         mesh = make_mesh(jax.devices()[:8])
 
@@ -151,11 +158,14 @@ class TestTrainStep:
         step = make_train_step(loss_fn, iters=cfg.iters, add_noise=False)
 
         losses = []
-        for i in range(4):
+        for i in range(16):
             state, metrics = step(state, sbatch, jax.random.PRNGKey(i))
             losses.append(float(metrics["loss"]))
         assert np.isfinite(losses).all(), losses
-        assert losses[-1] < losses[0], losses
+        tail = float(np.mean(losses[-4:]))
+        assert tail < 0.98 * losses[0], losses
+        # descent is steady once past the Adam transient
+        assert float(np.mean(losses[-4:])) < float(np.mean(losses[4:8])), losses
 
     def test_batch_stats_updated(self):
         cfg = FFRaftConfig(fusion="parallel", fuse_cnet=True, iters=1,
