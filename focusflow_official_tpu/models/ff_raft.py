@@ -79,10 +79,20 @@ class RAFTStep(nn.Module):
                 dtype=self.dtype)
         elif (self.corr_impl == "fused" and self.corr_levels > 1
               and len(levels) == 2 and levels[0].dtype == jnp.int8):
-            # FF_CORR_Q8 eval path: `levels` carries (int8 volume, row scale)
-            from ..ops.corr import lookup_corr_fused_chunks_q8
+            # FF_CORR_Q8 eval path: `levels` carries (int8 volume, row scale).
+            # '1' = int8 STORAGE, bf16 dot (measured winner — the full-int8
+            # variant's per-iteration tent quantize/clip VPU passes made it
+            # LOSE in-model, 24.5 vs 30.6 fps; BENCH.md round 4);
+            # 'mxu8' = int8 x int8 -> s32 MXU dot (kept as the recorded A/B).
+            import os as _os
 
-            corr = lookup_corr_fused_chunks_q8(
+            if _os.environ.get("FF_CORR_Q8") == "mxu8":
+                from ..ops.corr import lookup_corr_fused_chunks_q8 as _q8
+
+            else:
+                from ..ops.corr import lookup_corr_fused_chunks_q8s as _q8
+
+            corr = _q8(
                 levels[0], levels[1], coords1, self.corr_radius,
                 num_levels=self.corr_levels, dtype=self.dtype)
         elif self.corr_impl == "fused" and self.corr_levels > 1:
@@ -253,7 +263,7 @@ class RAFT(nn.Module):
             import os as _os
 
             if (fused and not train
-                    and _os.environ.get("FF_CORR_Q8", "0") == "1"):
+                    and _os.environ.get("FF_CORR_Q8", "0") in ("1", "mxu8")):
                 # opt-in int8 volume (eval only): per-row quantization once
                 # per forward; stage 1 of every iteration's lookup then
                 # reads half the HBM bytes (ops/corr.py::quantize_corr_q8)

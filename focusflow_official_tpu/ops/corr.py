@@ -495,6 +495,66 @@ def lookup_corr_fused_chunks_q8(
     return tuple(chunks)
 
 
+def lookup_corr_fused_chunks_q8s(
+    corr_i8: jnp.ndarray,
+    scale: jnp.ndarray,
+    coords: jnp.ndarray,
+    radius: int,
+    num_levels: int = 4,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, ...]:
+    """int8-STORAGE variant of the Q8 lookup: the volume lives in HBM as
+    int8 (half the stage-1 read bytes — the dominant ~99 MB/iter traffic)
+    but the dot itself runs bf16: the s8->bf16 convert fuses into the
+    stage-1 convolution fusion's operand read, so no bf16 copy of the
+    volume ever exists in HBM. Tents stay bf16 (no per-iteration
+    quantize/clip VPU passes — that cost made the full-int8 variant LOSE
+    in-model: 24.5 vs 30.6 fps, BENCH.md round 4); the per-row dequant
+    scale lands as one fused multiply on the tiny (B, Q, K, K) chunks.
+
+    Accuracy is strictly better than `lookup_corr_fused_chunks_q8` (only
+    the volume is quantized, ~0.4% row-relative).
+    """
+    b, q, h2, w2 = corr_i8.shape
+    k = 2 * radius + 1
+    sizes = _pool_sizes(h2, w2, num_levels)
+
+    d = jnp.linspace(-radius, radius, k, dtype=jnp.float32)
+    cx = coords[..., 0].reshape(b, q)
+    cy = coords[..., 1].reshape(b, q)
+
+    sx_all = jnp.concatenate(
+        [
+            _block_tent_weights(cx[..., None] / (2.0 ** l) + d, l, w2, wl)
+            for l, (_, wl) in enumerate(sizes)
+        ],
+        axis=-2,
+    ).astype(dtype)  # (B, Q, L*K, W2)
+    sy_all = jnp.concatenate(
+        [
+            _block_tent_weights_t(cy[..., None] / (2.0 ** l) + d, l, h2, hl)
+            for l, (hl, _) in enumerate(sizes)
+        ],
+        axis=-1,
+    ).astype(dtype)  # (B, Q, H2, L*K)
+
+    # stage 1 (MXU bf16): the s8 operand converts inside the fusion
+    t = jnp.einsum("bqyx,bqix->bqyi", corr_i8.astype(dtype), sx_all,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(dtype)
+
+    deq = scale[:, :, None, None]  # (B, Q, 1, 1) f32: corr ~= c_i8 * scale
+    chunks = []
+    for l in range(num_levels):
+        o = jnp.einsum("bqyj,bqyi->bqji",
+                       sy_all[:, :, :, l * k:(l + 1) * k],
+                       t[:, :, :, l * k:(l + 1) * k],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        chunks.append(o * deq)
+    return tuple(chunks)
+
+
 def lookup_corr_fused_packed(
     corr0: jnp.ndarray,
     coords: jnp.ndarray,

@@ -133,6 +133,27 @@ class TestFusedLookup:
             rel = err / (row_max[:, :, None, None] + 1e-12)
             assert rel.max() < 0.02, (lvl, rel.max())
 
+    def test_q8_storage_chunks_tighter_than_full_q8(self):
+        """int8-STORAGE lookup (`FF_CORR_Q8=1` production variant): only the
+        volume is quantized, so error must stay within ~0.5% of row max —
+        tighter than the full-int8 variant's 2% budget."""
+        from focusflow_official_tpu.ops.corr import (
+            lookup_corr_fused_chunks, lookup_corr_fused_chunks_q8s,
+            quantize_corr_q8,
+        )
+
+        f1, f2, coords = _toy_problem()
+        corr0 = all_pairs_corr(f1, f2)
+        want = lookup_corr_fused_chunks(corr0, coords, 4, 4, dtype=jnp.float32)
+        c_i8, scale = quantize_corr_q8(corr0)
+        got = lookup_corr_fused_chunks_q8s(c_i8, scale, coords, 4, 4,
+                                           dtype=jnp.float32)
+        row_max = np.asarray(scale) * 127.0
+        for lvl, (g, w) in enumerate(zip(got, want)):
+            err = np.abs(np.asarray(g) - np.asarray(w))
+            rel = err / (row_max[:, :, None, None] + 1e-12)
+            assert rel.max() < 0.005, (lvl, rel.max())
+
     def test_packed_matches_fused_and_xla(self):
         """The VPU-stage-2 packed form equals the monolithic fused form and
         the gather reference after the static packed->reference permutation."""
