@@ -26,16 +26,6 @@ from ..ops.coords import coords_grid
 from .twins import HIGH, _dense, _ln, gelu
 
 
-def _lsa_v2() -> bool:
-    """Perf experiment gate (FF_LSA_V2=1): transpose-minimal vertical-LSA
-    formulation. Mathematically identical to the default path; kept behind
-    an env knob until bench-measured on TPU — in-model layout verdicts have
-    inverted microbenchmark predictions before (BENCH.md methodology)."""
-    import os
-
-    return os.environ.get("FF_LSA_V2", "0") != "0"
-
-
 def linear_position_embedding_sine(x: jnp.ndarray, dim: int,
                                    normalize_factor: float = 1.0 / 200) -> jnp.ndarray:
     """LinearPositionEmbeddingSine (`attention.py:151-155`): x (..., 2) -> (..., dim)."""
@@ -305,37 +295,13 @@ class LocallyGroupedAttnRPEContext(nn.Module):
         coord = coords_grid(1, ws, ws).reshape(1, ws * ws, 2)
         enc = linear_position_embedding_sine(coord, dim=c_qk).astype(d)  # (1, ws*ws, c_qk)
 
-        if _lsa_v2():
-            # Transpose-minimal formulation (identical math): the q/k/v
-            # denses and the RPE add are token-pointwise, so they commute
-            # with the window permutation — apply them in NATURAL
-            # (b, hp, wp, ·) layout, window-partition ONE stacked qkv
-            # tensor, and split heads implicitly inside the einsums. Six
-            # 6-D transposes/relayouts per layer (2x windows, 3x heads,
-            # 1 extra merge) become 2 (partition + merge). Round-3
-            # profile: the vertical-LSA scope is data-movement-bound,
-            # ~2 ms/layer (BENCH.md FlowFormer table).
-            enc_grid = jnp.tile(enc.reshape(1, ws, ws, c_qk), (1, nh_, nw_, 1))
-            xe = x_qk + enc_grid
-            q = _dense(c, "q", d)(xe)
-            k = _dense(c, "k", d)(xe)
-            v = _dense(c, "v", d)(xg)
-            qkv = jnp.concatenate([q, k, v], axis=-1)  # (b, hp, wp, 3c)
-            qkv = qkv.reshape(b, nh_, ws, nw_, ws, 3 * c)
-            qkv = qkv.transpose(0, 1, 3, 2, 4, 5).reshape(
-                b, nh_ * nw_, ws * ws, 3, nh, hd)
-            qh, kh, vh = (qkv[..., 0, :, :], qkv[..., 1, :, :],
-                          qkv[..., 2, :, :])
-            attn = jnp.einsum("bwihd,bwjhd->bwhij", qh, kh,
-                              precision=HIGH) * scale
-            attn = jax.nn.softmax(attn, axis=-1)
-            out = jnp.einsum("bwhij,bwjhd->bwihd", attn, vh, precision=HIGH)
-            out = out.reshape(b, nh_, nw_, ws, ws, c)
-            out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
-                b, hp, wp, c)[:, :h, :w]
-            out = out.reshape(b, n, c)
-            return _dense(c, "proj", d)(out)
-
+        # An FF_LSA_V2 "transpose-minimal" variant (q/k/v denses applied in
+        # natural layout, ONE stacked window partition, implicit head split)
+        # was bench-measured in round 4 and LOST: 16.56 vs 18.41 fps — the
+        # stacked (b, hp, wp, 3c) qkv tensor's single big relayout beats six
+        # small ones on paper but XLA's fusion of the per-window einsums
+        # absorbs the default path's transposes better in-model. Deleted per
+        # the measure-or-delete policy; number recorded in BENCH.md.
         def windows(t, ch):
             t = t.reshape(b, nh_, ws, nw_, ws, ch).transpose(0, 1, 3, 2, 4, 5)
             return t.reshape(b, nh_ * nw_, ws * ws, ch)

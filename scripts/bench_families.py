@@ -6,7 +6,7 @@ mirror it. Prints one line per family.
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_families.py
            [raft] [pwc] [flowformer]
 No args = all three. A subset skips the others' multi-minute cold compiles —
-used for env-knob A/Bs (FF_LSA_V2, FF_FAST_GELU, FF_CORR_Q8) on one family.
+used for env-knob A/Bs (FF_FAST_GELU, FF_CORR_Q8) on one family.
 (BENCH.md methodology: N queued dispatches ended by one scalar fetch.)
 """
 import os

@@ -105,50 +105,3 @@ class TestFFFlowFormer:
         assert np.isfinite(np.asarray(flow_up)).all()
 
 
-def test_lsa_v2_matches_default():
-    """FF_LSA_V2 (transpose-minimal vertical LSA) is a pure reformulation:
-    same params, same outputs (float-association drift only) on a grid
-    that exercises both window padding axes (h%ws, w%ws != 0)."""
-    import os
-
-    from focusflow_official_tpu.nn.latent_cost import (
-        LocallyGroupedAttnRPEContext)
-
-    h, w, c, vc = 10, 17, 32, 16
-    mod = LocallyGroupedAttnRPEContext(dim=c, num_heads=4, ws=7, vert_c_dim=vc)
-    x = jnp.asarray(RNG.rand(2, h * w, c).astype(np.float32))
-    ctx = jnp.asarray(RNG.rand(2, h, w, 256).astype(np.float32))
-
-    assert os.environ.get("FF_LSA_V2") is None
-    variables = mod.init(jax.random.PRNGKey(3), x, (h, w), ctx)
-    base = mod.apply(variables, x, (h, w), ctx)
-    os.environ["FF_LSA_V2"] = "1"
-    try:
-        v2 = mod.apply(variables, x, (h, w), ctx)
-    finally:
-        os.environ.pop("FF_LSA_V2", None)
-    np.testing.assert_allclose(np.asarray(v2), np.asarray(base),
-                               atol=2e-5, rtol=1e-5)
-
-
-def test_twins_lsa_v2_matches_default():
-    """Same FF_LSA_V2 reformulation check for the twins-tower LSA,
-    including pad semantics (padded tokens carry the qkv bias)."""
-    import os
-
-    from focusflow_official_tpu.nn.twins import LocallyGroupedAttn
-
-    h, w, c = 9, 12, 16
-    mod = LocallyGroupedAttn(dim=c, num_heads=4, ws=7)
-    x = jnp.asarray(RNG.rand(2, h * w, c).astype(np.float32))
-
-    assert os.environ.get("FF_LSA_V2") is None
-    variables = mod.init(jax.random.PRNGKey(4), x, (h, w))
-    base = mod.apply(variables, x, (h, w))
-    os.environ["FF_LSA_V2"] = "1"
-    try:
-        v2 = mod.apply(variables, x, (h, w))
-    finally:
-        os.environ.pop("FF_LSA_V2", None)
-    np.testing.assert_allclose(np.asarray(v2), np.asarray(base),
-                               atol=2e-5, rtol=1e-5)
