@@ -85,12 +85,17 @@ class BasicParallelFusionLayer(nn.Module):
         ft = self.fusion_type
 
         # Manual space-to-batch over the stem+layer1 head (see module top).
-        # Requires: eval (Pallas stats stays out of the train graph anyway),
-        # instance norms (the wall being worked around), a pixelwise fusion1
-        # (1x1conv; SA/CA pool spatially), and an evenly divisible height.
+        # Requires: instance norms (the wall being worked around), a
+        # pixelwise fusion1 (1x1conv; SA/CA pool spatially), and an evenly
+        # divisible height. Eval by default; FF_CHUNKED_FNET_TRAIN=1 also
+        # chunks the TRAINING graph (exact same math — the row-chunk norm
+        # path is pure jnp and differentiable; there the wall is XLA's
+        # halo-masking tuple fusions around the native IN reduces rather
+        # than the Pallas veto, BENCH.md Finding 4).
         nc = _row_chunk_plan(x.shape[1])
         chunked = (
-            ev and self.norm_fn == "instance" and ft == "1x1conv"
+            (ev or os.environ.get("FF_CHUNKED_FNET_TRAIN", "0") == "1")
+            and self.norm_fn == "instance" and ft == "1x1conv"
             and nc is not None
             and os.environ.get("FF_CHUNKED_FNET", "1") != "0"
         )

@@ -44,6 +44,14 @@ motion = argv[argv.index('--motion') + 1] if '--motion' in argv else 'affine'
 assert motion in ('affine', 'shift'), motion
 max_shift = (float(argv[argv.index('--max-shift') + 1])
              if '--max-shift' in argv else 4.0)
+# --min-shift M: per-axis |t| sampled in [M, max_shift] with random sign —
+# guarantees motion energy at the coarse pyramid levels (a PWC-family
+# requirement: its 81-bin integer-displacement correlation at /64 sees
+# nothing below ~64 px). With min-shift set, frames are generated with a
+# max_shift margin and center-cropped so the GT is exact EVERYWHERE (no
+# reflected-border pixels with wrong flow).
+min_shift = (float(argv[argv.index('--min-shift') + 1])
+             if '--min-shift' in argv else 0.0)
 if '--size' in argv:
     _si = argv.index('--size')
     SIZE = (int(argv[_si + 1]), int(argv[_si + 2]))
@@ -63,6 +71,8 @@ def rich_pair(h, w):
     warp stays in-bounds (margins are still consistent: img1 is sampled with
     BORDER_REFLECT, and max |u| is kept small).
     """
+    m = int(np.ceil(max_shift)) if (motion == 'shift' and min_shift > 0) else 0
+    h, w = h + 2 * m, w + 2 * m
     base = rng.rand(h, w, 3).astype(np.float32)
     img1 = np.zeros_like(base)
     for sigma, gain in ((1.5, 1.0), (5.0, 2.0), (12.0, 4.0)):
@@ -71,7 +81,8 @@ def rich_pair(h, w):
     # small random affine around the center: rotation + scale + shift
     # (--motion shift: translation only, but still subpixel + exact GT)
     if motion == 'shift':
-        ang, scale, t = 0.0, 1.0, rng.uniform(-max_shift, max_shift, size=2)
+        ang, scale = 0.0, 1.0
+        t = rng.uniform(min_shift, max_shift, size=2) * rng.choice([-1.0, 1.0], size=2)
     else:
         ang = rng.uniform(-4, 4)
         scale = rng.uniform(0.96, 1.04)
@@ -87,6 +98,10 @@ def rich_pair(h, w):
     pts = np.stack([xs, ys], axis=-1)  # (h, w, 2) in (x, y)
     src = (pts - b) @ Ainv.T  # S^-1(y)
     flow = (src - pts).astype(np.float32)
+    if m:  # center-crop the margin: every kept pixel's source is in-bounds
+        img1 = img1[m:h - m, m:w - m]
+        img2 = img2[m:h - m, m:w - m]
+        flow = flow[m:h - m, m:w - m]
     return img1.astype(np.uint8), img2.astype(np.uint8), flow
 
 

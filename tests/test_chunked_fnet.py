@@ -50,6 +50,52 @@ def test_chunked_cce_matches_unchunked(h, w):
         np.asarray(out), np.asarray(ref), rtol=0, atol=2e-3)
 
 
+def test_chunked_cce_train_mode_values_and_grads():
+    """FF_CHUNKED_FNET_TRAIN=1 chunks the TRAINING graph: forward values
+    AND parameter gradients must match the unchunked train path (the
+    row-chunk norm branch is pure jnp — exact combined stats, margins
+    re-zeroed — so autodiff through it is the same math)."""
+    # Inputs at the REALISTIC scale: the model normalizes images to [-1, 1]
+    # before the CCE. (At a x50 stress scale the instance-norm BACKWARD is
+    # ill-conditioned — d/dvar terms carry rsqrt(var)^3 — and f32
+    # association noise in the chunk-combined stats amplifies to ~3e-2
+    # relative on layer1 kernels, measured; at scale 1 the same comparison
+    # sits at ~1e-5, i.e. the function is exact and the noise is float
+    # association only.)
+    h, w = 160, 64
+    m = BasicParallelFusionLayer(
+        norm_fn="instance", fusion_type="1x1conv", dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, 3))
+    mask = jax.random.normal(jax.random.PRNGKey(2), (2, h, w, 3))
+    v = m.init(jax.random.PRNGKey(0), x, mask, train=True)
+    tgt = jax.random.normal(jax.random.PRNGKey(3), (2, h // 8, w // 8, 128))
+
+    def loss(vv):
+        out = m.apply(vv, x, mask, train=True)
+        return jnp.mean((out - tgt) ** 2)
+
+    ref_val, ref_grad = jax.value_and_grad(loss)(v)
+    os.environ["FF_CHUNKED_FNET_TRAIN"] = "1"
+    try:
+        got_val, got_grad = jax.value_and_grad(loss)(v)
+    finally:
+        os.environ.pop("FF_CHUNKED_FNET_TRAIN", None)
+
+    np.testing.assert_allclose(float(got_val), float(ref_val),
+                               rtol=1e-5, atol=1e-6)
+    # Per-leaf scale-aware tolerance: conv biases directly under an
+    # instance norm have MATHEMATICALLY zero gradient (the mean
+    # subtraction cancels the shift), so their residue is float noise at
+    # ~1e-8 and absolute tolerance must key on each leaf's own scale.
+    paths = jax.tree_util.tree_flatten_with_path(ref_grad)[0]
+    flat_got = jax.tree_util.tree_leaves(got_grad)
+    for (p, r), g in zip(paths, flat_got):
+        r, g = np.asarray(r), np.asarray(g)
+        tol = max(2e-4 * float(np.abs(r).max()), 2e-6)
+        np.testing.assert_allclose(g, r, rtol=0, atol=tol,
+                                   err_msg=jax.tree_util.keystr(p))
+
+
 def test_chunked_gate_requires_instance_and_pixelwise_fusion():
     # batch norm / SA fusion must NOT take the chunked path (stats and
     # spatial pooling semantics differ) — outputs must be identical with
