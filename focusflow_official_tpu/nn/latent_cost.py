@@ -295,31 +295,24 @@ class LocallyGroupedAttnRPEContext(nn.Module):
         coord = coords_grid(1, ws, ws).reshape(1, ws * ws, 2)
         enc = linear_position_embedding_sine(coord, dim=c_qk).astype(d)  # (1, ws*ws, c_qk)
 
-        # An FF_LSA_V2 "transpose-minimal" variant (q/k/v denses applied in
-        # natural layout, ONE stacked window partition, implicit head split)
-        # was bench-measured in round 4 and LOST: 16.56 vs 18.41 fps — the
-        # stacked (b, hp, wp, 3c) qkv tensor's single big relayout beats six
-        # small ones on paper but XLA's fusion of the per-window einsums
-        # absorbs the default path's transposes better in-model. Deleted per
-        # the measure-or-delete policy; number recorded in BENCH.md.
-        def windows(t, ch):
-            t = t.reshape(b, nh_, ws, nw_, ws, ch).transpose(0, 1, 3, 2, 4, 5)
-            return t.reshape(b, nh_ * nw_, ws * ws, ch)
+        # The q/k/v denses are token-pointwise and the RPE is per-window-
+        # position, so both commute with window partitioning: compute them
+        # in NATURAL padded (b, hp, wp, .) layout and hand the fused Pallas
+        # window kernel (`kernels/window_attention.py`) naturally-laid-out
+        # operands — no 6-D partition/merge relayouts exist on either side.
+        # (The XLA fallback inside window_attention reproduces the
+        # reference's partition + batched-einsum lowering exactly; an
+        # XLA-only "transpose-minimal" variant was bench-measured in round
+        # 4 and LOST, 16.56 vs 18.41 fps — only removing the permutations
+        # entirely beats the default, BENCH.md round 4.)
+        from ..kernels.window_attention import window_attention
 
-        v = _dense(c, "v", d)(windows(xg, c))
-        xw_qk = windows(x_qk, c_qk) + enc[:, None]
-
-        q = _dense(c, "q", d)(xw_qk)
-        k = _dense(c, "k", d)(xw_qk)
-
-        def heads(t):
-            return t.reshape(b, nh_ * nw_, ws * ws, nh, hd).transpose(0, 1, 3, 2, 4)
-
-        attn = jnp.einsum("bwhid,bwhjd->bwhij", heads(q), heads(k), precision=HIGH) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bwhij,bwhjd->bwhid", attn, heads(v), precision=HIGH)
-        out = out.transpose(0, 1, 3, 2, 4).reshape(b, nh_, nw_, ws, ws, c)
-        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)[:, :h, :w]
+        enc_grid = jnp.tile(enc.reshape(1, ws, ws, c_qk), (1, nh_, nw_, 1))
+        xe = x_qk + enc_grid
+        q = _dense(c, "q", d)(xe)
+        k = _dense(c, "k", d)(xe)
+        v = _dense(c, "v", d)(xg)
+        out = window_attention(q, k, v, ws, nh, scale)[:, :h, :w]
         out = out.reshape(b, n, c)
         return _dense(c, "proj", d)(out)
 
