@@ -18,7 +18,12 @@ steps already overfit — BENCH.md round 3).
 
 `--motion shift` (with `--rich`) restricts the warp to pure translation
 (ang=0, scale=1, t in [-max_shift, max_shift]^2; `--max-shift` default 4).
-PWC-family fixtures use this with `--max-shift 24`. Measured caveat: NO
+PWC-family fixtures use this with `--max-shift 24`. Round 4 added
+`--min-shift M` (per-axis |t| in [M, max] with random sign; frames get a
+max-shift margin + center-crop so GT is exact everywhere) to test the
+coarse-level-energy hypothesis: 48-112 px shifts at 384x512 put 0.75-1.75
+px of motion at /64 — and short-schedule PWC STILL flatlines (BENCH.md
+round-4 closure table). Measured caveat stands: NO
 smoke distribution makes short-schedule PWC converge — subpixel shifts
 (|t|<=4 is subpixel at EVERY level of the 1/4-res-finest 81-bin
 integer-displacement correlation; val AEPE 2.78 vs zero-flow baseline
