@@ -140,15 +140,22 @@ def window_attention(q, k, v, ws: int, heads: int, scale: float):
     """ws x ws window attention on natural-layout (B, Hp, Wp, C) q/k/v.
 
     Hp/Wp must already be padded to multiples of ws (the caller pads the
-    token grid before its q/k/v denses). Uses the fused Pallas kernel on
-    TPU when the shape qualifies, the XLA partition/merge lowering
-    otherwise. Opt out with FF_PALLAS_LSA=0.
+    token grid before its q/k/v denses).
+
+    Default: the XLA partition/merge lowering. The fused Pallas kernel
+    (FF_PALLAS_LSA=1) was bench-MEASURED A LOSS at the FlowFormer
+    protocol (18.97 vs 21.03 fps, BENCH.md round 4): per-window
+    per-head attention means 2,432 tiny (49, 16) MXU dots per layer
+    (8 batch x 19 windows x 8 heads x 2), and Mosaic issues them
+    serially — small-dot latency swamps the relayout savings. The
+    window-size/head-dim shapes are fundamentally MXU-hostile; kept as
+    a documented negative with the measurement.
     """
     import os
 
     b, hp, wp, c = q.shape
     assert hp % ws == 0 and wp % ws == 0, (hp, wp, ws)
-    if (os.environ.get("FF_PALLAS_LSA", "1") != "0"
+    if (os.environ.get("FF_PALLAS_LSA", "0") == "1"
             and window_attention_supported(ws, c, heads, wp)):
         return _attention(q, k, v, ws, heads, scale)
     return _xla_attention(q, k, v, ws, heads, scale)

@@ -295,24 +295,50 @@ class LocallyGroupedAttnRPEContext(nn.Module):
         coord = coords_grid(1, ws, ws).reshape(1, ws * ws, 2)
         enc = linear_position_embedding_sine(coord, dim=c_qk).astype(d)  # (1, ws*ws, c_qk)
 
-        # The q/k/v denses are token-pointwise and the RPE is per-window-
-        # position, so both commute with window partitioning: compute them
-        # in NATURAL padded (b, hp, wp, .) layout and hand the fused Pallas
-        # window kernel (`kernels/window_attention.py`) naturally-laid-out
-        # operands — no 6-D partition/merge relayouts exist on either side.
-        # (The XLA fallback inside window_attention reproduces the
-        # reference's partition + batched-einsum lowering exactly; an
-        # XLA-only "transpose-minimal" variant was bench-measured in round
-        # 4 and LOST, 16.56 vs 18.41 fps — only removing the permutations
-        # entirely beats the default, BENCH.md round 4.)
-        from ..kernels.window_attention import window_attention
+        # Opt-in (FF_PALLAS_LSA=1) fused window kernel: the q/k/v denses
+        # are token-pointwise and the RPE is per-window-position, so both
+        # commute with window partitioning — compute them in NATURAL
+        # padded layout and hand the kernel unpermuted operands. Bench-
+        # MEASURED A LOSS (18.97 vs 21.03 fps): Mosaic issues the 2,432
+        # tiny per-window-per-head dots serially. Kept as the documented
+        # negative (`kernels/window_attention.py`); the default below is
+        # the reference partition-then-dense lowering, unchanged. (An
+        # XLA-only transpose-minimal variant also lost: 16.56 vs 18.41,
+        # round 4 — this attention's shapes simply resist reformulation.)
+        import os as _os
 
-        enc_grid = jnp.tile(enc.reshape(1, ws, ws, c_qk), (1, nh_, nw_, 1))
-        xe = x_qk + enc_grid
-        q = _dense(c, "q", d)(xe)
-        k = _dense(c, "k", d)(xe)
-        v = _dense(c, "v", d)(xg)
-        out = window_attention(q, k, v, ws, nh, scale)[:, :h, :w]
+        if _os.environ.get("FF_PALLAS_LSA", "0") == "1":
+            from ..kernels.window_attention import (
+                window_attention, window_attention_supported)
+
+            if window_attention_supported(ws, c, nh, wp):
+                enc_grid = jnp.tile(enc.reshape(1, ws, ws, c_qk),
+                                    (1, nh_, nw_, 1))
+                xe = x_qk + enc_grid
+                q = _dense(c, "q", d)(xe)
+                k = _dense(c, "k", d)(xe)
+                v = _dense(c, "v", d)(xg)
+                out = window_attention(q, k, v, ws, nh, scale)[:, :h, :w]
+                return _dense(c, "proj", d)(out.reshape(b, n, c))
+
+        def windows(t, ch):
+            t = t.reshape(b, nh_, ws, nw_, ws, ch).transpose(0, 1, 3, 2, 4, 5)
+            return t.reshape(b, nh_ * nw_, ws * ws, ch)
+
+        v = _dense(c, "v", d)(windows(xg, c))
+        xw_qk = windows(x_qk, c_qk) + enc[:, None]
+
+        q = _dense(c, "q", d)(xw_qk)
+        k = _dense(c, "k", d)(xw_qk)
+
+        def heads(t):
+            return t.reshape(b, nh_ * nw_, ws * ws, nh, hd).transpose(0, 1, 3, 2, 4)
+
+        attn = jnp.einsum("bwhid,bwhjd->bwhij", heads(q), heads(k), precision=HIGH) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bwhij,bwhjd->bwhid", attn, heads(v), precision=HIGH)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, nh_, nw_, ws, ws, c)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)[:, :h, :w]
         out = out.reshape(b, n, c)
         return _dense(c, "proj", d)(out)
 
