@@ -55,9 +55,35 @@ class ChunkFoldedConv1x1(nn.Module):
         w = kernel[0, 0]  # (cin, cout), rows ordered l, then i slow, j fast
         d = self.dtype
         if isinstance(chunks, tuple):
+            import os
+
+            if os.environ.get("FF_CHUNK_DOT", "perlevel") == "packed":
+                # Round-4 attack on the 4 x 0.44 ms chunk relayout copies
+                # ({2,1,0}->{0,1,2} before the per-level dots, xprof):
+                # flatten each (B, Q, K, K) chunk to (B, Q, K2), concat
+                # minor-wise, and contract ALL levels in ONE
+                # (B*Q, L*K2) @ (L*K2, cout) dot. Kernel rows reordered
+                # loop-invariantly to the chunk (l, j, i) packing (the
+                # param stays reference-ordered l, i, j).
+                # MEASURED A TIE (30.621 vs 30.607 fps): the reshape to
+                # (B, Q, 81) re-inserts the same layout change the dots
+                # forced — the copies are XLA's dot-layout preference, not
+                # the per-level loop structure. Kept opt-in for the record.
+                b, q = chunks[0].shape[:2]
+                packed = jnp.concatenate(
+                    [ch.astype(d).reshape(b, q, k * k) for ch in chunks],
+                    axis=-1)
+                idx = [l * k * k + i * k + j
+                       for l in range(self.corr_levels)
+                       for j in range(k) for i in range(k)]
+                wp = w[jnp.asarray(idx)]  # (L*K2, cout), (l, j, i) order
+                y = jnp.einsum("bqc,co->bqo", packed, wp.astype(d),
+                               precision=jax.lax.Precision.HIGHEST)
+                return y + bias.astype(d)
+            # default: one (B,Q,81)@(81,256)-shaped dot per level.
             acc = None
             for l, ch in enumerate(chunks):
-                wl = w[l * k * k:(l + 1) * k * k].reshape(k, k, cout)  # [i, j, o]
+                wl = w[l * k * k:(l + 1) * k * k].reshape(k, k, cout)
                 y = jnp.einsum("bqji,ijo->bqo", ch.astype(d), wl.astype(d),
                                precision=jax.lax.Precision.HIGHEST)
                 acc = y if acc is None else acc + y
@@ -100,6 +126,34 @@ class FlowHead(nn.Module):
         return conv2d(2, 3, 1, 1, name="conv2", dtype=d, in_features=self.hidden_dim, kernel_init=torch_default)(x)
 
 
+def _fused_zr() -> bool:
+    """The z/r gates convolve the same cat(h, x); fusing their kernels into
+    one conv (trace-time concat — loop-invariant, hoisted out of the scan)
+    halves the hx reads and widens the MXU output tile. Measured +1% fps at
+    the bench protocol (30.92 vs 30.61); math and param tree are identical
+    to separate convs (verified exact). FF_GRU_ZR=separate opts out."""
+    import os
+
+    return os.environ.get("FF_GRU_ZR", "fused") != "separate"
+
+
+def _zr_gates(hx, kern, pad, cin, hd, d, name_z, name_r):
+    """One fused conv producing both gate pre-activations; params live in
+    child scopes `name_z`/`name_r` with nn.Conv's exact {kernel, bias}
+    names, shapes and inits — checkpoint-identical to two `conv2d`s."""
+    kz, bz = _ConvParams((*kern, cin, hd), name=name_z)()
+    kr, br = _ConvParams((*kern, cin, hd), name=name_r)()
+    zr = jax.lax.conv_general_dilated(
+        hx.astype(d),
+        jnp.concatenate([kz, kr], axis=-1).astype(d),
+        window_strides=(1, 1),
+        padding=((pad[0], pad[0]), (pad[1], pad[1])),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    ) + jnp.concatenate([bz, br]).astype(d)
+    return nn.sigmoid(zr[..., :hd]), nn.sigmoid(zr[..., hd:])
+
+
 class ConvGRU(nn.Module):
     hidden_dim: int = 128
     input_dim: int = 192 + 128
@@ -110,8 +164,12 @@ class ConvGRU(nn.Module):
         d = self.dtype
         cin = self.hidden_dim + self.input_dim
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(conv2d(self.hidden_dim, 3, 1, 1, name="convz", dtype=d, in_features=cin, kernel_init=torch_default)(hx))
-        r = nn.sigmoid(conv2d(self.hidden_dim, 3, 1, 1, name="convr", dtype=d, in_features=cin, kernel_init=torch_default)(hx))
+        if _fused_zr():
+            z, r = _zr_gates(hx, (3, 3), (1, 1), cin, self.hidden_dim, d,
+                             "convz", "convr")
+        else:
+            z = nn.sigmoid(conv2d(self.hidden_dim, 3, 1, 1, name="convz", dtype=d, in_features=cin, kernel_init=torch_default)(hx))
+            r = nn.sigmoid(conv2d(self.hidden_dim, 3, 1, 1, name="convr", dtype=d, in_features=cin, kernel_init=torch_default)(hx))
         q = nn.tanh(
             conv2d(self.hidden_dim, 3, 1, 1, name="convq", dtype=d, in_features=cin, kernel_init=torch_default)(
                 jnp.concatenate([r * h, x], axis=-1)
@@ -120,8 +178,34 @@ class ConvGRU(nn.Module):
         return (1 - z) * h + z * q
 
 
+class _ConvParams(nn.Module):
+    """Bare {kernel, bias} param holder with nn.Conv's exact names, shapes and
+    inits — lets a parent fuse several convs' kernels into one
+    `lax.conv_general_dilated` call while keeping the checkpoint tree
+    identical to separate `conv2d` modules."""
+
+    kernel_shape: Tuple[int, int, int, int]  # (kh, kw, cin, cout)
+
+    @nn.compact
+    def __call__(self):
+        kh, kw, cin, cout = self.kernel_shape
+        kernel = self.param("kernel", torch_default, self.kernel_shape,
+                            jnp.float32)
+        fan_in = cin * kh * kw
+        bias = self.param(
+            "bias",
+            lambda key, shape, dtype=jnp.float32: torch_bias_init(
+                key, shape, dtype, fan_in),
+            (cout,), jnp.float32)
+        return kernel, bias
+
+
 class SepConvGRU(nn.Module):
-    """Separable GRU: a horizontal (1x5) pass then a vertical (5x1) pass."""
+    """Separable GRU: a horizontal (1x5) pass then a vertical (5x1) pass.
+
+    The z/r gate convs are fused into one conv by default (`_fused_zr`,
+    measured +1% fps; param tree and math identical to the reference's
+    separate gate convs, `update.py:33-60`)."""
 
     hidden_dim: int = 128
     input_dim: int = 192 + 128
@@ -132,11 +216,16 @@ class SepConvGRU(nn.Module):
         d = self.dtype
         hd = self.hidden_dim
         cin = hd + self.input_dim
+        fused_zr = _fused_zr()
 
         for suffix, kern, pad in (("1", (1, 5), (0, 2)), ("2", (5, 1), (2, 0))):
             hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(conv2d(hd, kern, 1, pad, name=f"convz{suffix}", dtype=d, in_features=cin, kernel_init=torch_default)(hx))
-            r = nn.sigmoid(conv2d(hd, kern, 1, pad, name=f"convr{suffix}", dtype=d, in_features=cin, kernel_init=torch_default)(hx))
+            if fused_zr:
+                z, r = _zr_gates(hx, kern, pad, cin, hd, d,
+                                 f"convz{suffix}", f"convr{suffix}")
+            else:
+                z = nn.sigmoid(conv2d(hd, kern, 1, pad, name=f"convz{suffix}", dtype=d, in_features=cin, kernel_init=torch_default)(hx))
+                r = nn.sigmoid(conv2d(hd, kern, 1, pad, name=f"convr{suffix}", dtype=d, in_features=cin, kernel_init=torch_default)(hx))
             q = nn.tanh(
                 conv2d(hd, kern, 1, pad, name=f"convq{suffix}", dtype=d, in_features=cin, kernel_init=torch_default)(
                     jnp.concatenate([r * h, x], axis=-1)
