@@ -16,11 +16,24 @@ from __future__ import annotations
 import os
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from .blocks import ResidualBlock, TiledInputConv, conv2d, _stem
+from .blocks import (
+    ResidualBlock,
+    TiledInputConv,
+    conv2d,
+    _stem,
+    kaiming_out,
+    torch_bias_init,
+)
 from .fusion_units import FusionUnit
-from .norm import Norm, zero_virtual_rows
+from .norm import (
+    Norm,
+    instance_norm_eval,
+    instance_norm_rowchunks,
+    zero_virtual_rows,
+)
 
 # Manual space-to-batch for the stem+layer1 head (eval only): XLA's own
 # space-to-batch conv rewrite — worth 2.4x on the low-channel convs
@@ -67,6 +80,264 @@ def _unchunk_rows(y: jnp.ndarray, b: int, nc: int, margin: int) -> jnp.ndarray:
     return core.reshape(b, nc * (rows - 2 * margin), w, c)
 
 
+# --- packed branch-pair execution for the chunked stem+layer1 region -------
+#
+# The image and mask branches run identical-SHAPE 64-channel convs with
+# different weights; 64 output channels half-fill the MXU's 128 lanes
+# (BENCH.md: dense 128ch has ~2.2x the per-FLOP efficiency of 64ch, and an
+# 8-conv chain at the chunked layer1 shape measured 6.9 ms packed vs 10.0 ms
+# as separate branches). Packing both branches onto one 128-channel tensor
+# with BLOCK-DIAGONAL kernels (built at trace time from the unchanged
+# per-branch params — loop-invariant, hoisted by XLA) doubles lane fill for
+# 2x the nominal FLOPs, a measured net win, and halves the op count of the
+# norm/re-zero machinery. The instance norm is per-channel and param-free,
+# so the packed tensor goes through the SAME `instance_norm_rowchunks`; the
+# parameter tree is untouched — `_ConvParams` mirrors declare exactly the
+# names/shapes/inits `conv2d` would, under the same module paths
+# (`tests/test_packed_cce.py` locks both the tree and the outputs).
+#
+# Packing convention: channels [:C] = image branch, [C:] = mask branch.
+
+
+class _ConvParams(nn.Module):
+    """Parameter-tree mirror of `conv2d(...)` (flax nn.Conv): declares the
+    same kernel/bias names, shapes, and initializers WITHOUT computing a
+    conv — the packed path fetches per-branch weights and fuses them at
+    trace time. Must stay in lockstep with `blocks.conv2d`."""
+
+    features: int
+    kernel: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", kaiming_out,
+            (self.kernel, self.kernel, self.in_features, self.features),
+            jnp.float32)
+        fan_in = self.in_features * self.kernel * self.kernel
+        b = self.param(
+            "bias",
+            lambda key, shape, dtype=jnp.float32: torch_bias_init(
+                key, shape, dtype, fan_in),
+            (self.features,), jnp.float32)
+        return k, b
+
+
+class _Conv1x1FusionParams(nn.Module):
+    """Mirror of `fusion_units.Conv1x1` (child conv named 'conv')."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.channels, 1, self.channels, name="conv")()
+
+
+class _FusionUnitParams(nn.Module):
+    """Mirror of a bidirectional 1x1conv `FusionUnit`."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        m2i = _Conv1x1FusionParams(self.channels, name="mask2img")()
+        i2m = _Conv1x1FusionParams(self.channels, name="img2mask")()
+        return m2i, i2m
+
+
+class _ResBlockParams(nn.Module):
+    """Mirror of a `ResidualBlock` (instance norm declares no params; the
+    stride!=1 variant adds the 1x1 downsample conv, whose norm3 is also
+    param-free instance)."""
+
+    in_planes: int
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self):
+        ci, c = self.in_planes, self.planes
+        k1 = _ConvParams(c, 3, ci, name="conv1")()
+        k2 = _ConvParams(c, 3, c, name="conv2")()
+        if self.stride != 1:
+            kd = _ConvParams(c, 1, ci, name="downsample_conv")()
+            return k1, k2, kd
+        return k1, k2
+
+
+class _NormBNParams(nn.Module):
+    """Mirror of `Norm(kind='batch')`: declares the same scale/bias params
+    and batch_stats {mean, var} variables (all RNG-independent inits), and
+    returns them for the packed eval affine. Must stay in lockstep with
+    `norm.Norm`'s batch branch."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+class _ResBlockBNParams(nn.Module):
+    """Mirror of a batch-norm `ResidualBlock`: same child names/shapes as
+    `blocks.ResidualBlock` (conv1/norm1/conv2/norm2[/downsample_conv/norm3])."""
+
+    in_planes: int
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self):
+        ci, c = self.in_planes, self.planes
+        convs = [_ConvParams(c, 3, ci, name="conv1")(),
+                 _ConvParams(c, 3, c, name="conv2")()]
+        norms = [_NormBNParams(c, name="norm1")(),
+                 _NormBNParams(c, name="norm2")()]
+        if self.stride != 1:
+            convs.append(_ConvParams(c, 1, ci, name="downsample_conv")())
+            norms.append(_NormBNParams(c, name="norm3")())
+        return convs, norms
+
+
+def _packed_bn(p: jnp.ndarray, stats_img, stats_mask, eps: float,
+               fuse_relu: bool, dtype) -> jnp.ndarray:
+    """Eval batch norm on a packed tensor: concatenated per-branch running
+    stats + affine, evaluated with exactly `Norm`'s eval expression (same
+    cast points, so per-channel results are bit-identical to unpacked)."""
+    sx, bx, mx, vx = stats_img
+    sm, bm, mm, vm = stats_mask
+    scale = jnp.concatenate([sx, sm])
+    bias = jnp.concatenate([bx, bm])
+    mean = jnp.concatenate([mx, mm])
+    var = jnp.concatenate([vx, vm])
+    inv = jax.lax.rsqrt(var + eps)
+    d = dtype
+    out = (p - mean.astype(d)) * inv.astype(d) * scale.astype(d) \
+        + bias.astype(d)
+    out = out.astype(d)
+    return nn.relu(out) if fuse_relu else out
+
+
+class _TiledStemParams(nn.Module):
+    """Mirror of `TiledInputConv` (kernel declared over `declared_in` input
+    channels; a 1-channel input stands for `declared_in` tiled copies, so
+    the kernel collapses by summing the in axis — exact by linearity)."""
+
+    features: int
+    declared_in: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", kaiming_out, (7, 7, self.declared_in, self.features),
+            jnp.float32)
+        fan_in = self.declared_in * 49
+        b = self.param(
+            "bias",
+            lambda key, shape, dtype=jnp.float32: torch_bias_init(
+                key, shape, dtype, fan_in),
+            (self.features,), jnp.float32)
+        return k, b
+
+
+def _packed_stem(x: jnp.ndarray, mask: jnp.ndarray, kx, bx, km, bm,
+                 dtype) -> jnp.ndarray:
+    """Both 7x7/stride-2 stems as ONE `batch_group_count=2` convolution.
+
+    Feature group j of the output convolves batch group j of the stacked
+    input with its own kernel slice, so out[..., :F] == conv(x, kx) and
+    out[..., F:] == conv(mask, km) — the packed tensor is produced
+    directly at full 128-lane width. Input channel counts are equalized by
+    zero-padding the narrower input AND its kernel's in axis (exact)."""
+    ci, cm = kx.shape[2], km.shape[2]
+    c = max(ci, cm)
+    if ci < c:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c - ci)))
+        kx = jnp.pad(kx, ((0, 0), (0, 0), (0, c - ci), (0, 0)))
+    if cm < c:
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, 0), (0, c - cm)))
+        km = jnp.pad(km, ((0, 0), (0, 0), (0, c - cm), (0, 0)))
+    stacked = jnp.concatenate([x, mask], 0).astype(dtype)
+    k = jnp.concatenate([kx, km], -1).astype(dtype)  # (7,7,c,2F)
+    y = jax.lax.conv_general_dilated(
+        stacked, k, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        batch_group_count=2,
+        precision=jax.lax.Precision.HIGHEST)
+    b = jnp.concatenate([bx, bm], -1)
+    return y + b.astype(dtype)
+
+
+def _blockdiag_kernel(kx: jnp.ndarray, km: jnp.ndarray) -> jnp.ndarray:
+    """(kh,kw,C,C) x2 -> (kh,kw,2C,2C) with zero off-diagonal blocks:
+    input block [:C] (image) feeds only output block [:C], etc."""
+    kh, kw, ci, co = kx.shape
+    z = jnp.zeros((kh, kw, ci, co), kx.dtype)
+    top = jnp.concatenate([kx, z], -1)   # in-image row
+    bot = jnp.concatenate([z, km], -1)   # in-mask row
+    return jnp.concatenate([top, bot], -2)
+
+
+def _packed_conv(p: jnp.ndarray, k: jnp.ndarray, b: jnp.ndarray,
+                 dtype, stride: int = 1) -> jnp.ndarray:
+    pad = k.shape[0] // 2
+    y = jax.lax.conv_general_dilated(
+        p.astype(dtype), k.astype(dtype), (stride, stride),
+        ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    return y + b.astype(dtype)
+
+
+def _packed_fusion_1x1(p: jnp.ndarray, m2i, i2m, dtype) -> jnp.ndarray:
+    """Bidirectional Conv1x1 fusion on the packed tensor: one dense 1x1
+    conv whose kernel is block-ANTI-diagonal (image output is fed by the
+    mask input block and vice versa), exactly `img + conv(mask)` /
+    `mask + conv(img)`."""
+    (km2i, bm2i), (ki2m, bi2m) = m2i, i2m
+    c = km2i.shape[2]
+    z = jnp.zeros((1, 1, c, c), km2i.dtype)
+    top = jnp.concatenate([z, ki2m], -1)   # in-image -> mask output block
+    bot = jnp.concatenate([km2i, z], -1)   # in-mask  -> image output block
+    k = jnp.concatenate([top, bot], -2)
+    b = jnp.concatenate([bm2i, bi2m], -1)
+    return p + _packed_conv(p, k, b, dtype)
+
+
+def _packed_resblock(p: jnp.ndarray, params_x, params_m, stride: int,
+                     norms, dtype) -> jnp.ndarray:
+    """Two mirrored ResidualBlocks on one packed tensor. `norms` is either
+    one callable `norm(t, relu)` used for every norm site (the param-free
+    instance lowerings) or a per-site tuple (norm1, norm2[, norm3]) — the
+    batch-norm path closes each site over its own affine/stats."""
+    if callable(norms):
+        norms = (norms,) * 3
+    (k1x, b1x), (k2x, b2x) = params_x[0], params_x[1]
+    (k1m, b1m), (k2m, b2m) = params_m[0], params_m[1]
+    y = _packed_conv(p, _blockdiag_kernel(k1x, k1m),
+                     jnp.concatenate([b1x, b1m], -1), dtype, stride)
+    y = norms[0](y, True)
+    y = _packed_conv(y, _blockdiag_kernel(k2x, k2m),
+                     jnp.concatenate([b2x, b2m], -1), dtype)
+    y = norms[1](y, True)
+    if stride != 1:
+        (kdx, bdx), (kdm, bdm) = params_x[2], params_m[2]
+        p = _packed_conv(p, _blockdiag_kernel(kdx, kdm),
+                         jnp.concatenate([bdx, bdm], -1), dtype, stride)
+        p = norms[2](p, False)
+    # chunked region: virtual rows of p and y are both zero, so relu(p+y)
+    # stays zero there
+    return nn.relu(p + y)
+
+
 class BasicParallelFusionLayer(nn.Module):
     img_channel: int = 3
     mask_channel: int = 3
@@ -106,36 +377,144 @@ class BasicParallelFusionLayer(nn.Module):
             mask = _chunk_rows(mask, nc, _HALO)
             rc = (nc, _HALO // 2)  # margin halves through the stride-2 stem
 
-        stem = _stem(d)
-        if mask.shape[-1] == 1 and self.mask_channel != 1:
-            # single-channel stand-in for a tiled mask: fold the tile into
-            # the stem kernel (exact by linearity; see TiledInputConv)
-            mask = TiledInputConv(64, self.mask_channel,
-                                  name="mask_conv1", dtype=d)(mask)
+        # Packed branch-pair execution through the chunked head (see the
+        # `_packed_*` block above): both 64ch branches ride one 128-channel
+        # tensor with block-diagonal kernels — doubled MXU lane fill,
+        # measured faster than the separate chains. Param tree unchanged.
+        # Eval-only: the packed convs reassociate f32 accumulation, and the
+        # train-chunked gate (itself a documented negative) stays bit-stable.
+        packed = chunked and ev and os.environ.get("FF_PACKED_CCE", "1") != "0"
+
+        # Packed branch-pair execution for the BATCH-norm CCE (the fused
+        # cnet in the bench config): eval batch norm is a per-channel
+        # affine — no stats custom call, no cross-chunk reduction — so the
+        # packed region needs no row chunking at all; the same
+        # block-diagonal kernels carry both branches through
+        # norm1/fusion1/layer1 at full 128-lane width. `FF_PACKED_CCE_BN`
+        # isolates this gate from the fnet one for A/B runs; opt-in until
+        # measured at the bench protocol.
+        packed_bn = (
+            ev and not chunked and self.norm_fn == "batch"
+            and ft == "1x1conv"
+            and os.environ.get("FF_PACKED_CCE_BN", "0") == "1")
+
+        # Opt-in A/B: the two stems as one batch_group_count=2 conv
+        # (produces the packed tensor directly at 128-lane width). Measured
+        # a LOSS at the bench protocol (32.31 vs 33.28 fps with separate
+        # stems + concat): the batch-grouped conv denies XLA the
+        # input-fusion freedom the separate stems get, and the stem is
+        # input-read-bound, not lane-bound. Separate stems stay default.
+        pack_stem = (packed and os.environ.get("FF_S2D_STEM") != "1"
+                     and os.environ.get("FF_PACKED_STEM", "0") == "1")
+        if pack_stem:
+            kx, bx = _ConvParams(64, 7, self.img_channel, name="conv1")()
+            if mask.shape[-1] == 1 and self.mask_channel != 1:
+                km, bm = _TiledStemParams(
+                    64, self.mask_channel, name="mask_conv1")()
+                # 1-channel stand-in for the tiled mask (TiledInputConv):
+                # exact by linearity, sum the kernel's in axis (f32)
+                km = km.sum(axis=2, keepdims=True)
+            else:
+                km, bm = _ConvParams(
+                    64, 7, self.mask_channel, name="mask_conv1")()
+            p = _packed_stem(x, mask, kx, bx, km, bm, d)
         else:
-            mask = stem(64, self.mask_channel, "mask_conv1")(mask)
-        mask = Norm(self.norm_fn, 64, 8, name="mask_norm1", dtype=d)(mask, ura, fuse_relu=True, is_eval=ev, row_chunks=rc)
+            stem = _stem(d)
+            if mask.shape[-1] == 1 and self.mask_channel != 1:
+                # single-channel stand-in for a tiled mask: fold the tile
+                # into the stem kernel (exact by linearity; TiledInputConv)
+                mask = TiledInputConv(64, self.mask_channel,
+                                      name="mask_conv1", dtype=d)(mask)
+            else:
+                mask = stem(64, self.mask_channel, "mask_conv1")(mask)
+            x = stem(64, self.img_channel, "conv1")(x)
 
-        x = stem(64, self.img_channel, "conv1")(x)
-        x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True, is_eval=ev, row_chunks=rc)
-
-        mask, x = FusionUnit(64, ft, True, name="fusion1", dtype=d)(mask, x)
-        if rc is not None:
+        if packed:
+            eps = 1e-5  # Norm default; instance norm declares no params
+            margin = rc[1]
+            if not pack_stem:
+                p = jnp.concatenate([x, mask], -1)  # [:64]=image, [64:]=mask
+            p = instance_norm_rowchunks(p, nc, margin, eps, True, d)
+            m2i, i2m = _FusionUnitParams(64, name="fusion1")()
+            p = _packed_fusion_1x1(p, m2i, i2m, d)
             # fusion's bias re-contaminates the image-border virtual rows;
             # re-zero them so layer1's convs see the full-image zero padding
-            mask = zero_virtual_rows(mask, nc, rc[1])
-            x = zero_virtual_rows(x, nc, rc[1])
+            p = zero_virtual_rows(p, nc, margin)
+            norm_rc = lambda t, relu: instance_norm_rowchunks(
+                t, nc, margin, eps, relu, d)
+            for bi in range(2):
+                px = _ResBlockParams(64, 64, 1, name=f"layer1_{bi}")()
+                pm = _ResBlockParams(64, 64, 1, name=f"mask_layer1_{bi}")()
+                p = _packed_resblock(p, px, pm, 1, norm_rc, d)
+            # the 12-row input halo is exactly consumed by stem (3 input
+            # rows) + layer1's four 3x3 convs (4 rows at /2): the chunk
+            # cores are exact here — reassemble before the strided layers
+            p = _unchunk_rows(p, b_in, nc, margin)
+            rc = None
+            # layer2 at 192 packed channels measured a LOSS (31.58 vs 32.11
+            # fps at the bench protocol): 192 is not a lane-tile multiple,
+            # the strided blocks add a third block-diag conv each, and the
+            # mid-tile split at 96 costs a relayout. Opt-in A/B only.
+            if os.environ.get("FF_PACKED_L2", "0") == "1":
+                m2i, i2m = _FusionUnitParams(64, name="fusion2")()
+                p = _packed_fusion_1x1(p, m2i, i2m, d)
+                norm_ev = lambda t, relu: instance_norm_eval(t, eps, relu, d)
+                for bi, (cin, st) in enumerate(((64, 2), (96, 1))):
+                    px = _ResBlockParams(cin, 96, st, name=f"layer2_{bi}")()
+                    pm = _ResBlockParams(cin, 96, st,
+                                         name=f"mask_layer2_{bi}")()
+                    p = _packed_resblock(p, px, pm, st, norm_ev, d)
+                m2i, i2m = _FusionUnitParams(96, name="fusion3")()
+                p = _packed_fusion_1x1(p, m2i, i2m, d)
+                x, mask = p[..., :96], p[..., 96:]
+                packed_done = 2
+            else:
+                x, mask = p[..., :64], p[..., 64:]
+                mask, x = FusionUnit(64, ft, True, name="fusion2",
+                                     dtype=d)(mask, x)
+                packed_done = 1
+        elif packed_bn:
+            eps = 1e-5  # Norm default; the BN mirrors declare scale/bias
+            p = jnp.concatenate([x, mask], -1)  # [:64]=image, [64:]=mask
+            p = _packed_bn(p, _NormBNParams(64, name="norm1")(),
+                           _NormBNParams(64, name="mask_norm1")(),
+                           eps, True, d)
+            m2i, i2m = _FusionUnitParams(64, name="fusion1")()
+            p = _packed_fusion_1x1(p, m2i, i2m, d)
+
+            def _bn_site(sx, sm):
+                return lambda t, relu: _packed_bn(t, sx, sm, eps, relu, d)
+
+            for bi in range(2):
+                cx, nx = _ResBlockBNParams(64, 64, 1, name=f"layer1_{bi}")()
+                cm, nm = _ResBlockBNParams(
+                    64, 64, 1, name=f"mask_layer1_{bi}")()
+                p = _packed_resblock(
+                    p, cx, cm, 1,
+                    tuple(_bn_site(a, b) for a, b in zip(nx, nm)), d)
+            x, mask = p[..., :64], p[..., 64:]
+            mask, x = FusionUnit(64, ft, True, name="fusion2",
+                                 dtype=d)(mask, x)
+            packed_done = 1
+        else:
+            mask = Norm(self.norm_fn, 64, 8, name="mask_norm1", dtype=d)(mask, ura, fuse_relu=True, is_eval=ev, row_chunks=rc)
+            x = Norm(self.norm_fn, 64, 8, name="norm1", dtype=d)(x, ura, fuse_relu=True, is_eval=ev, row_chunks=rc)
+            mask, x = FusionUnit(64, ft, True, name="fusion1", dtype=d)(mask, x)
+            if rc is not None:
+                # see the packed branch's re-zero comment
+                mask = zero_virtual_rows(mask, nc, rc[1])
+                x = zero_virtual_rows(x, nc, rc[1])
 
         dims = [(64, 64, 1), (64, 96, 2), (96, 128, 2)]
         for li, (cin, cout, stride) in enumerate(dims, start=1):
+            if (packed or packed_bn) and li <= packed_done:
+                continue  # executed above on the packed tensor
             mask = ResidualBlock(cin, cout, self.norm_fn, stride, name=f"mask_layer{li}_0", dtype=d)(mask, ura, is_eval=ev, row_chunks=rc)
             mask = ResidualBlock(cout, cout, self.norm_fn, 1, name=f"mask_layer{li}_1", dtype=d)(mask, ura, is_eval=ev, row_chunks=rc)
             x = ResidualBlock(cin, cout, self.norm_fn, stride, name=f"layer{li}_0", dtype=d)(x, ura, is_eval=ev, row_chunks=rc)
             x = ResidualBlock(cout, cout, self.norm_fn, 1, name=f"layer{li}_1", dtype=d)(x, ura, is_eval=ev, row_chunks=rc)
             if rc is not None and li == 1:
-                # the 12-row input halo is exactly consumed by stem (3 input
-                # rows) + layer1's four 3x3 convs (4 rows at /2): the chunk
-                # cores are exact here — reassemble before the strided layers
+                # see the packed branch's unchunk comment
                 mask = _unchunk_rows(mask, b_in, nc, rc[1])
                 x = _unchunk_rows(x, b_in, nc, rc[1])
                 rc = None

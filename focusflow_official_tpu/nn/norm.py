@@ -64,6 +64,61 @@ def zero_virtual_rows(x: jnp.ndarray, nc: int, margin: int) -> jnp.ndarray:
     return jnp.where(virtual[:, :, None, None], jnp.zeros((), x.dtype), x)
 
 
+def instance_norm_rowchunks(x: jnp.ndarray, nc: int, margin: int,
+                            epsilon: float, fuse_relu: bool,
+                            dtype) -> jnp.ndarray:
+    """Instance norm over a row-chunked (B*nc, rows, W, C) tensor.
+
+    Stats are computed EXACTLY from the disjoint core rows and combined
+    across each image's nc chunks (bit-identical reduction tree regardless
+    of C — the packed CCE path runs both branches on one 2C tensor through
+    this same function). The normalize applies to the whole chunk (margins
+    get the same global stats the true rows would) and image-border virtual
+    rows are re-zeroed for the next spatial conv. Pure jnp: differentiable,
+    and no custom call enters the chunked region."""
+    bn, rows, w, _ = x.shape
+    b = bn // nc
+    core = x[:, margin : rows - margin]
+    s1 = jnp.sum(core, axis=(1, 2), dtype=jnp.float32)  # (B*nc, C)
+    s2 = jnp.sum(core * core, axis=(1, 2), dtype=jnp.float32)
+    s1 = s1.reshape(b, nc, -1).sum(axis=1)
+    s2 = s2.reshape(b, nc, -1).sum(axis=1)
+    count = nc * core.shape[1] * w
+    mean = s1 / count
+    var = jnp.maximum(s2 / count - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + epsilon)
+    mean_b = jnp.repeat(mean.astype(dtype), nc, axis=0)[:, None, None, :]
+    inv_b = jnp.repeat(inv.astype(dtype), nc, axis=0)[:, None, None, :]
+    out = ((x - mean_b) * inv_b).astype(dtype)
+    out = nn.relu(out) if fuse_relu else out
+    return zero_virtual_rows(out, nc, margin)
+
+
+def instance_norm_eval(x: jnp.ndarray, epsilon: float, fuse_relu: bool,
+                       dtype) -> jnp.ndarray:
+    """Eval-time instance norm (no affine) with the production TPU lowering:
+    Pallas stats custom call when enabled (FF_PALLAS_IN_STATS), pure-XLA
+    reductions otherwise. Shared by `Norm` (unchunked instance/eval branch)
+    and the packed CCE path so both produce the identical graph."""
+    if _USE_PALLAS_IN_STATS and _pallas_in_ok():
+        from ..kernels.instance_norm import instance_norm_stats
+
+        xs = x
+        if _IN_STATS_BARRIER:
+            (xs,) = jax.lax.optimization_barrier((x,))
+        mean, inv = instance_norm_stats(xs, epsilon)
+        out = (x - mean.astype(dtype)) * inv.astype(dtype)
+        out = out.astype(dtype)
+        return nn.relu(out) if fuse_relu else out
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(x * x, axis=(1, 2), keepdims=True,
+                   dtype=jnp.float32) - mean * mean
+    var = jnp.maximum(var, 0.0)
+    inv = jax.lax.rsqrt(var + epsilon)
+    out = ((x - mean.astype(dtype)) * inv.astype(dtype)).astype(dtype)
+    return nn.relu(out) if fuse_relu else out
+
+
 class Norm(nn.Module):
     kind: str  # 'group' | 'batch' | 'instance' | 'none'
     features: int
@@ -100,24 +155,8 @@ class Norm(nn.Module):
             is_eval = use_running_average
         if row_chunks is not None and kind == "instance":
             nc, margin = row_chunks
-            bn, rows, w, _ = x.shape
-            b = bn // nc
-            core = x[:, margin : rows - margin]
-            s1 = jnp.sum(core, axis=(1, 2), dtype=jnp.float32)  # (B*nc, C)
-            s2 = jnp.sum(core * core, axis=(1, 2), dtype=jnp.float32)
-            s1 = s1.reshape(b, nc, -1).sum(axis=1)
-            s2 = s2.reshape(b, nc, -1).sum(axis=1)
-            count = nc * core.shape[1] * w
-            mean = s1 / count
-            var = jnp.maximum(s2 / count - mean * mean, 0.0)
-            inv = jax.lax.rsqrt(var + self.epsilon)
-            d_ = self.dtype
-            mean_b = jnp.repeat(mean.astype(d_), nc, axis=0)[:, None, None, :]
-            inv_b = jnp.repeat(inv.astype(d_), nc, axis=0)[:, None, None, :]
-            out = ((x - mean_b) * inv_b).astype(d_)
-            out = nn.relu(out) if fuse_relu else out
-            # keep image-border virtual rows zero for the next spatial conv
-            return zero_virtual_rows(out, nc, margin)
+            return instance_norm_rowchunks(
+                x, nc, margin, self.epsilon, fuse_relu, self.dtype)
         if kind == "none":
             return nn.relu(x) if fuse_relu else x
         c = self.features
@@ -149,24 +188,12 @@ class Norm(nn.Module):
                 from ..kernels.instance_norm import instance_norm_pallas
 
                 return instance_norm_pallas(x, self.epsilon, fuse_relu).astype(d)
-            # eval only: training measured neutral-to-slightly-worse with the
-            # custom call in the backward graph (474 vs 466 ms/step)
-            if _USE_PALLAS_IN_STATS and is_eval and _pallas_in_ok():
-                from ..kernels.instance_norm import instance_norm_stats
-
-                xs = x
-                if _IN_STATS_BARRIER:
-                    # decouple the stats custom call from the conv chain so
-                    # XLA's space-to-batch conv rewrite still fires on the
-                    # surrounding convolutions (the opaque custom call as a
-                    # direct consumer blocks it — BENCH.md round 3); the
-                    # barrier makes the stats input an isolated batch-to-space
-                    # copy instead of a layout anchor
-                    (xs,) = jax.lax.optimization_barrier((x,))
-                mean, inv = instance_norm_stats(xs, self.epsilon)
-                out = (x - mean.astype(d)) * inv.astype(d)
-                out = out.astype(self.dtype)
-                return nn.relu(out) if fuse_relu else out
+            # eval lowering (Pallas stats when enabled — a measured win at
+            # eval and a measured loss in the train graph, 474 vs 466
+            # ms/step — else the same pure-XLA reductions as training).
+            # Shared with the packed CCE path via `instance_norm_eval`.
+            if is_eval:
+                return instance_norm_eval(x, self.epsilon, fuse_relu, d)
             # f32 ACCUMULATION via the reduction dtype (not an explicit
             # upcast): profiled round 2, `x.astype(f32)` made XLA materialize
             # full f32 copies of the activation inside the conv fusions
