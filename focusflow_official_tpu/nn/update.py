@@ -57,6 +57,15 @@ class ChunkFoldedConv1x1(nn.Module):
         if isinstance(chunks, tuple):
             import os
 
+            if os.environ.get("FF_PALLAS_FOLD", "0") == "1":
+                # Round-4 attack on the 4 x 0.44 ms chunk relayout copies:
+                # a Pallas fold kernel consumes the stage-2 chunks in the
+                # row-major layout they are produced in (the Pallas operand
+                # pin == the existing layout, so it costs nothing) and runs
+                # one K=L*K2 MXU dot per query tile. See kernels/fold.py.
+                from ..kernels.fold import fold_chunks_conv
+
+                return fold_chunks_conv(chunks, w, bias, d)
             if os.environ.get("FF_CHUNK_DOT", "perlevel") == "packed":
                 # Round-4 attack on the 4 x 0.44 ms chunk relayout copies
                 # ({2,1,0}->{0,1,2} before the per-level dots, xprof):

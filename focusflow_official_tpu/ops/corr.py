@@ -239,6 +239,42 @@ def _block_tent_weights(pos: jnp.ndarray, level: int, size0: int,
     return tent * (2.0 ** -level)
 
 
+def _block_tent_weights_t_base(scaled: jnp.ndarray, d: jnp.ndarray, level: int,
+                               size0: int, size_l: int) -> jnp.ndarray:
+    """`_block_tent_weights_t` with the (query - grid) "base" hoisted.
+
+    Mathematically the same tent (one f32 reassociation: (c/2^l - y) + d
+    instead of (c/2^l + d) - y). The point is the TPU layout: the naive
+    form expands a q-in-lanes (B, Q, K) tap tensor against the grid axis,
+    and every output tile write crosses lanes (round-4 xprof: the sx/sy
+    builds ran at ~62 GB/s effective, ~2 ms/forward). Hoisting
+    base[q, y] = c[q]/2^l - (y >> level) pays the lane->sublane crossing
+    ONCE per level on a (B, Q, size0) tensor; the (B, Q, size0, K)
+    expansion then only adds the per-tap scalar d[k] along the sublane
+    axis — lane-aligned all the way.
+    """
+    y = jnp.arange(size0, dtype=jnp.int32)
+    yb = (y >> level).astype(jnp.float32)
+    base = scaled[..., None] - yb  # (B, Q, size0)
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(base[..., :, None] + d))
+    if size_l << level < size0:
+        tent = tent * (y < (size_l << level))[..., :, None]
+    return tent * (2.0 ** -level)
+
+
+def _block_tent_weights_base(scaled: jnp.ndarray, d: jnp.ndarray, level: int,
+                             size0: int, size_l: int) -> jnp.ndarray:
+    """`_block_tent_weights` with the hoisted lane-aligned base (see
+    `_block_tent_weights_t_base`). Returns (..., K, size0)."""
+    y = jnp.arange(size0, dtype=jnp.int32)
+    yb = (y >> level).astype(jnp.float32)
+    base = scaled[..., None] - yb  # (B, Q, size0)
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(base[..., None, :] + d[:, None]))
+    if size_l << level < size0:
+        tent = tent * (y < (size_l << level))
+    return tent * (2.0 ** -level)
+
+
 def lookup_corr_fused(
     corr0: jnp.ndarray,
     coords: jnp.ndarray,
@@ -364,28 +400,74 @@ def lookup_corr_fused_chunks(
     cx = coords[..., 0].reshape(b, q)
     cy = coords[..., 1].reshape(b, q)
 
-    sx_all = jnp.concatenate(
-        [
-            _block_tent_weights(cx[..., None] / (2.0 ** l) + d, l, w2, wl)
-            for l, (_, wl) in enumerate(sizes)
-        ],
-        axis=-2,
-    ).astype(dtype)  # (B, Q, L*K, W2)
-    # one fused build for every level's y-weights (4 separate builds paid a
-    # 0.67 ms/run convert+relayout EACH before their dots — round-3 profile)
-    sy_all = jnp.concatenate(
-        [
-            _block_tent_weights_t(cy[..., None] / (2.0 ** l) + d, l, h2, hl)
-            for l, (hl, _) in enumerate(sizes)
-        ],
-        axis=-1,
-    ).astype(dtype)  # (B, Q, H2, L*K)
+    import os
+
+    base_build = os.environ.get("FF_TENT_BASE", "1") != "0"
+    if base_build:
+        # lane-aligned hoisted-base tent builds (round-4 Finding 10)
+        sx_all = jnp.concatenate(
+            [
+                _block_tent_weights_base(cx / (2.0 ** l), d, l, w2, wl)
+                for l, (_, wl) in enumerate(sizes)
+            ],
+            axis=-2,
+        ).astype(dtype)  # (B, Q, L*K, W2)
+        sy_all = jnp.concatenate(
+            [
+                _block_tent_weights_t_base(cy / (2.0 ** l), d, l, h2, hl)
+                for l, (hl, _) in enumerate(sizes)
+            ],
+            axis=-1,
+        ).astype(dtype)  # (B, Q, H2, L*K)
+    else:
+        sx_all = jnp.concatenate(
+            [
+                _block_tent_weights(cx[..., None] / (2.0 ** l) + d, l, w2, wl)
+                for l, (_, wl) in enumerate(sizes)
+            ],
+            axis=-2,
+        ).astype(dtype)  # (B, Q, L*K, W2)
+        # one fused build for every level's y-weights (4 separate builds paid
+        # a 0.67 ms/run convert+relayout EACH before their dots — round-3
+        # profile)
+        sy_all = jnp.concatenate(
+            [
+                _block_tent_weights_t(cy[..., None] / (2.0 ** l) + d, l, h2, hl)
+                for l, (hl, _) in enumerate(sizes)
+            ],
+            axis=-1,
+        ).astype(dtype)  # (B, Q, H2, L*K)
 
     c = corr0.astype(dtype)
     # t[b,q,y,i] = sum_x corr[b,q,y,x] * sx[b,q,i,x]
     t = jnp.einsum("bqyx,bqix->bqyi", c, sx_all,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST).astype(dtype)
+
+    if os.environ.get("FF_STAGE2_POOL", "0") == "1":
+        # Pooled stage 2 (round-4 experiment): the level-l block tent is
+        # piecewise-CONSTANT within each 2^l-row pool block, so contracting
+        # it against t equals contracting a plain level-l tent against t
+        # average-pooled l times along y (floor semantics, exactly the
+        # `avg_pool2x2` chain). Shrinks the stage-2 y-contractions from
+        # L*H2 to sum_l H2/2^l rows (55+27+13+6 vs 220 at bench shapes).
+        chunks = []
+        for l, (hl, _) in enumerate(sizes):
+            tl = t[..., l * k:(l + 1) * k]  # (B, Q, H2, K)
+            n = h2
+            for _ in range(l):
+                n = n // 2
+                tl = (tl[:, :, 0:2 * n:2] + tl[:, :, 1:2 * n:2]) * 0.5
+            # plain level-l tent, hoisted-base build, no pool composition
+            y = jnp.arange(hl, dtype=jnp.float32)
+            base = cy[..., None] / (2.0 ** l) - y  # (B, Q, hl)
+            sy_l = jnp.maximum(
+                0.0, 1.0 - jnp.abs(base[..., :, None] + d)).astype(dtype)
+            o = jnp.einsum("bqyj,bqyi->bqji", sy_l, tl[:, :, :hl],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            chunks.append(o)
+        return tuple(chunks)
 
     chunks = []
     for l in range(num_levels):
