@@ -34,7 +34,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Flipped by tests to exercise the Mosaic kernel in interpret mode on CPU
+# (the production gate below routes non-TPU backends to the XLA fold).
+_INTERPRET = False
+
+
 def pallas_fold_supported() -> bool:
+    if _INTERPRET:
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -79,6 +86,7 @@ def _fold_fwd_impl(packed, w, bias, dtype):
             pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tq, cout), lambda i, j: (i, j, 0)),
+        interpret=_INTERPRET,
     )(x, w, bias.reshape(1, cout))
     return out[:, :q] if pad else out
 

@@ -112,6 +112,61 @@ class TestFusedLookup:
         np.testing.assert_allclose(got, _xla_reference(f1, f2, coords),
                                    atol=2e-4, rtol=1e-4)
 
+    def test_tent_base_matches_legacy_build(self):
+        """`FF_TENT_BASE=1` (hoisted-base tent builds, the round-4 default)
+        and `FF_TENT_BASE=0` (legacy per-level builds) are the same math —
+        chunks must agree to float tolerance, incl. out-of-range coords."""
+        import os
+
+        from focusflow_official_tpu.ops.corr import lookup_corr_fused_chunks
+
+        f1, f2, coords = _toy_problem()
+        corr0 = all_pairs_corr(f1, f2)
+        saved = os.environ.get("FF_TENT_BASE")
+        try:
+            os.environ["FF_TENT_BASE"] = "1"
+            base = lookup_corr_fused_chunks(corr0, coords, 4, 4,
+                                            dtype=jnp.float32)
+            os.environ["FF_TENT_BASE"] = "0"
+            legacy = lookup_corr_fused_chunks(corr0, coords, 4, 4,
+                                              dtype=jnp.float32)
+        finally:
+            if saved is None:
+                os.environ.pop("FF_TENT_BASE", None)
+            else:
+                os.environ["FF_TENT_BASE"] = saved
+        for lvl, (g, w) in enumerate(zip(base, legacy)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=2e-5, rtol=1e-5,
+                                       err_msg=f"level {lvl}")
+
+    def test_stage2_pool_matches_default(self):
+        """`FF_STAGE2_POOL=1` (pooled stage-2 y-contraction) must equal the
+        default block-tent stage 2: the level-l block tent is constant within
+        each 2^l pool block, so pooling t then contracting a plain tent is
+        the same sum reassociated. Odd sizes exercise the floor-pool rows."""
+        import os
+
+        from focusflow_official_tpu.ops.corr import lookup_corr_fused_chunks
+
+        f1, f2, coords = _toy_problem()
+        corr0 = all_pairs_corr(f1, f2)
+        want = lookup_corr_fused_chunks(corr0, coords, 4, 4, dtype=jnp.float32)
+        saved = os.environ.get("FF_STAGE2_POOL")
+        try:
+            os.environ["FF_STAGE2_POOL"] = "1"
+            got = lookup_corr_fused_chunks(corr0, coords, 4, 4,
+                                           dtype=jnp.float32)
+        finally:
+            if saved is None:
+                os.environ.pop("FF_STAGE2_POOL", None)
+            else:
+                os.environ["FF_STAGE2_POOL"] = saved
+        for lvl, (g, w) in enumerate(zip(got, want)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=2e-5, rtol=1e-5,
+                                       err_msg=f"level {lvl}")
+
     def test_q8_chunks_within_quantization_budget(self):
         """int8-volume lookup (`FF_CORR_Q8` path) matches the exact chunked
         form within its documented ~1%-of-row-max error budget."""

@@ -143,3 +143,64 @@ class TestFusedAttentionKernel:
         for w, o in zip(want, got):
             np.testing.assert_allclose(np.asarray(o), np.asarray(w),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestFoldKernel:
+    """kernels/fold.py: chunk-layout-native folded convc1 (`FF_PALLAS_FOLD`)."""
+
+    def _chunks(self, b=2, q=600, k=9, levels=4):
+        return tuple(
+            jnp.asarray(RNG.randn(b, q, k, k).astype(np.float32))
+            for _ in range(levels))
+
+    def test_matches_chunk_folded_conv(self):
+        """Kernel (interpret mode) == the default per-level XLA fold on the
+        same reference-ordered weights, incl. the q-padding tail path."""
+        from focusflow_official_tpu.kernels import fold
+        from focusflow_official_tpu.nn.update import ChunkFoldedConv1x1
+
+        chunks = self._chunks(q=600)  # 600 % 512 != 0: exercises the pad
+        cin, cout = 4 * 81, 96
+        w = jnp.asarray(RNG.randn(cin, cout).astype(np.float32) * 0.1)
+        bias = jnp.asarray(RNG.randn(cout).astype(np.float32))
+
+        mod = ChunkFoldedConv1x1(features=cout, corr_levels=4, corr_radius=4)
+        variables = {"params": {"kernel": w.reshape(1, 1, cin, cout),
+                                "bias": bias}}
+        want = np.asarray(mod.apply(variables, chunks))
+
+        saved = fold._INTERPRET
+        fold._INTERPRET = True
+        try:
+            got = np.asarray(fold.fold_chunks_conv(
+                chunks, w, bias, jnp.float32))
+        finally:
+            fold._INTERPRET = saved
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    def test_custom_vjp_matches_xla_grads(self):
+        """`_fold`'s custom_vjp == autodiff through the plain XLA fold."""
+        from focusflow_official_tpu.kernels import fold
+
+        b, q, cin, cout = 1, 520, 324, 64
+        packed = jnp.asarray(RNG.randn(b, q, cin).astype(np.float32))
+        w = jnp.asarray(RNG.randn(cin, cout).astype(np.float32) * 0.1)
+        bias = jnp.asarray(RNG.randn(cout).astype(np.float32))
+        g = jnp.asarray(RNG.randn(b, q, cout).astype(np.float32))
+
+        def loss_xla(p, w, bias):
+            return jnp.sum(fold._xla_fold(p, w, bias, jnp.float32) * g)
+
+        def loss_kernel(p, w, bias):
+            return jnp.sum(fold._fold(p, w, bias, jnp.float32) * g)
+
+        want = jax.grad(loss_xla, argnums=(0, 1, 2))(packed, w, bias)
+        saved = fold._INTERPRET
+        fold._INTERPRET = True
+        try:
+            got = jax.grad(loss_kernel, argnums=(0, 1, 2))(packed, w, bias)
+        finally:
+            fold._INTERPRET = saved
+        for name, (o, e) in zip(("dpacked", "dw", "dbias"), zip(got, want)):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(e),
+                                       atol=1e-4, rtol=1e-4, err_msg=name)

@@ -184,3 +184,61 @@ class TestTrainStep:
                         jax.random.PRNGKey(0))
         after = jax.tree.leaves(state.batch_stats)[0]
         assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+class TestMultichipFamilies:
+    """Data-parallel train step on the 8-virtual-device mesh for the OTHER
+    two families (VERDICT r4 item 3) — FF-RAFT is covered above. FlowFormer
+    is the grad-structure risk case: the reference's DDP needs
+    `find_unused_parameters=True` (`ff-flowformer/common_util.py:48`);
+    under GSPMD unused params take zero grads through the same all-reduce.
+    """
+
+    def test_pwcnet_multichip_step(self):
+        from focusflow_official_tpu.losses import build_multiscale_loss
+        from focusflow_official_tpu.models import FFPWCNet
+
+        assert jax.device_count() >= 8
+        mesh = make_mesh(jax.devices()[:8])
+        cfg = FFRaftConfig(fusion="parallel", fusion_type="1x1conv",
+                           compute_dtype="float32", corr_impl="xla")
+        model = FFPWCNet(cfg)
+        batch = _tiny_batch(b=8, h=64, w=96)
+        tx = build_optimizer(lambda _: 1e-4, clip=1.0)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in batch.items()}, tx)
+        state = jax.device_put(state, replicate(mesh))
+        sbatch = put_batch(batch, mesh)
+        loss_fn = build_multiscale_loss(
+            "EPELoss", weights=[0.32, 0.08, 0.02, 0.01, 0.005],
+            mode="pretrain")
+        step = make_train_step(loss_fn, iters=None, add_noise=False)
+        state, metrics = step(state, sbatch, jax.random.PRNGKey(1))
+        jax.block_until_ready(state.params)
+        assert np.isfinite(float(metrics["loss"])), metrics
+        assert float(metrics["grad_norm"]) > 0.0
+
+    def test_flowformer_multichip_step(self):
+        from focusflow_official_tpu.models import FFFlowFormer, FlowFormerConfig
+
+        assert jax.device_count() >= 8
+        mesh = make_mesh(jax.devices()[:8])
+        cfg = FlowFormerConfig(
+            fusion="parallel", compute_dtype="float32", corr_impl="xla",
+            encoder_depth=1, decoder_depth=2, cost_latent_token_num=4)
+        model = FFFlowFormer(cfg)
+        batch = _tiny_batch(b=8, h=64, w=96)
+        tx = build_optimizer(lambda _: 1e-4, clip=1.0)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0),
+            {k: jnp.asarray(v) for k, v in batch.items()}, tx)
+        state = jax.device_put(state, replicate(mesh))
+        sbatch = put_batch(batch, mesh)
+        loss_fn = build_sequence_loss("EPELoss", gamma=0.8)
+        step = make_train_step(loss_fn, iters=cfg.decoder_depth,
+                               add_noise=False)
+        state, metrics = step(state, sbatch, jax.random.PRNGKey(1))
+        jax.block_until_ready(state.params)
+        assert np.isfinite(float(metrics["loss"])), metrics
+        assert float(metrics["grad_norm"]) > 0.0
