@@ -132,16 +132,19 @@ class RAFTStep(nn.Module):
             ).astype(self.dtype)
         flow = (coords1 - coords0).astype(self.dtype)
 
+        # fused (eval) lookup -> the Pallas fold kernel is the measured
+        # default for convc1's chunk consumer (BENCH.md Finding 10)
+        fold_impl = "pallas" if self.corr_impl == "fused" else "xla"
         if self.small:
             block = SmallUpdateBlock(
                 self.corr_levels, self.corr_radius, self.hidden_dim,
-                name="update_block", dtype=self.dtype,
+                name="update_block", dtype=self.dtype, fold_impl=fold_impl,
             )
             net, up_mask, delta_flow = block(net, inp, corr, flow)
         else:
             block = BasicUpdateBlock(
                 self.corr_levels, self.corr_radius, self.hidden_dim,
-                name="update_block", dtype=self.dtype,
+                name="update_block", dtype=self.dtype, fold_impl=fold_impl,
             )
             # test mode consumes only the FINAL iteration's upsample mask:
             # skip the ~6 GFLOP mask head on the other iterations

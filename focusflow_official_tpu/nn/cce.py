@@ -390,13 +390,13 @@ class BasicParallelFusionLayer(nn.Module):
         # affine — no stats custom call, no cross-chunk reduction — so the
         # packed region needs no row chunking at all; the same
         # block-diagonal kernels carry both branches through
-        # norm1/fusion1/layer1 at full 128-lane width. `FF_PACKED_CCE_BN`
-        # isolates this gate from the fnet one for A/B runs; opt-in until
-        # measured at the bench protocol.
+        # norm1/fusion1/layer1 at full 128-lane width. Measured at the
+        # bench protocol (round 5, BENCH.md Finding 10): 35.92 vs 35.24
+        # fps (+1.9%) — default on; `FF_PACKED_CCE_BN=0` opts out.
         packed_bn = (
             ev and not chunked and self.norm_fn == "batch"
             and ft == "1x1conv"
-            and os.environ.get("FF_PACKED_CCE_BN", "0") == "1")
+            and os.environ.get("FF_PACKED_CCE_BN", "1") != "0")
 
         # Opt-in A/B: the two stems as one batch_group_count=2 conv
         # (produces the packed tensor directly at 128-lane width). Measured

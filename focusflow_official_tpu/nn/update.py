@@ -42,6 +42,7 @@ class ChunkFoldedConv1x1(nn.Module):
     corr_levels: int
     corr_radius: int
     dtype: jnp.dtype = jnp.float32
+    fold_impl: str = "xla"
 
     @nn.compact
     def __call__(self, chunks) -> jnp.ndarray:
@@ -54,15 +55,36 @@ class ChunkFoldedConv1x1(nn.Module):
             (cout,), jnp.float32)
         w = kernel[0, 0]  # (cin, cout), rows ordered l, then i slow, j fast
         d = self.dtype
+        if isinstance(chunks, tuple) and chunks and chunks[0] == "stage2k":
+            # Mosaic stage-2+fold kernel experiment (`FF_STAGE2_KERNEL`,
+            # BENCH.md Finding 11): the lookup handed us stage 1's t and
+            # the query y-coords; the kernel does the rest (q-minor VMEM
+            # tents + fused folded convc1, kernels/stage2.py).
+            from ..kernels.stage2 import stage2_fold
+
+            _, t, cy, sizes, radius, pre_t = chunks
+            idx = [l * k * k + i * k + j
+                   for l in range(self.corr_levels)
+                   for j in range(k) for i in range(k)]
+            wp = w[jnp.asarray(idx)].astype(d)
+            return stage2_fold(t, cy, wp, bias.astype(jnp.float32),
+                               radius, sizes, dtype=d,
+                               transpose_in_kernel=not pre_t)
         if isinstance(chunks, tuple):
             import os
 
-            if os.environ.get("FF_PALLAS_FOLD", "0") == "1":
-                # Round-4 attack on the 4 x 0.44 ms chunk relayout copies:
-                # a Pallas fold kernel consumes the stage-2 chunks in the
-                # row-major layout they are produced in (the Pallas operand
-                # pin == the existing layout, so it costs nothing) and runs
-                # one K=L*K2 MXU dot per query tile. See kernels/fold.py.
+            # Pallas fold kernel (kernels/fold.py): consumes the stage-2
+            # chunks in the row-major layout they are produced in (the
+            # Pallas operand pin == the existing layout, so it costs
+            # nothing) and runs one K=L*K2 MXU dot per query tile.
+            # Measured +1.2% fps at the bench protocol (BENCH.md Finding
+            # 10) -> DEFAULT on the eval/fused lookup path (`fold_impl=
+            # "pallas"`, set by the model when the lookup resolves to
+            # 'fused'); the training graph keeps XLA (unmeasured there —
+            # a Mosaic custom call in the backward risks the Finding 4
+            # layout veto). FF_PALLAS_FOLD=1/0 force-overrides both ways.
+            default = "1" if self.fold_impl == "pallas" else "0"
+            if os.environ.get("FF_PALLAS_FOLD", default) == "1":
                 from ..kernels.fold import fold_chunks_conv
 
                 return fold_chunks_conv(chunks, w, bias, d)
@@ -244,7 +266,8 @@ class SepConvGRU(nn.Module):
         return h
 
 
-def _convc1(features, corr_levels, corr_radius, dtype, flow, corr):
+def _convc1(features, corr_levels, corr_radius, dtype, flow, corr,
+            fold_impl="xla"):
     """First motion-encoder conv: plain NHWC 1x1 for array corr, or the
     kernel-folded query-space form when corr arrives as fused-lookup chunks
     (tuple of (B, Q, K, K)); the (B, Q, F) result reshapes to NHWC for free
@@ -254,7 +277,8 @@ def _convc1(features, corr_levels, corr_radius, dtype, flow, corr):
     if isinstance(corr, tuple) or corr.ndim == 3 or corr.shape[-1] != cor_planes:
         b, h, w = flow.shape[:3]
         cor = ChunkFoldedConv1x1(features, corr_levels, corr_radius,
-                                 name="convc1", dtype=dtype)(corr)
+                                 name="convc1", dtype=dtype,
+                                 fold_impl=fold_impl)(corr)
         return cor.reshape(b, h, w, features)
     return conv2d(features, 1, 1, 0, name="convc1", dtype=dtype,
                   in_features=cor_planes, kernel_init=torch_default)(corr)
@@ -264,12 +288,13 @@ class SmallMotionEncoder(nn.Module):
     corr_levels: int
     corr_radius: int
     dtype: jnp.dtype = jnp.float32
+    fold_impl: str = "xla"
 
     @nn.compact
     def __call__(self, flow: jnp.ndarray, corr) -> jnp.ndarray:
         d = self.dtype
         cor = nn.relu(_convc1(96, self.corr_levels, self.corr_radius, d,
-                              flow, corr))
+                              flow, corr, self.fold_impl))
         flo = nn.relu(conv2d(64, 7, 1, 3, name="convf1", dtype=d, in_features=2, kernel_init=torch_default)(flow))
         flo = nn.relu(conv2d(32, 3, 1, 1, name="convf2", dtype=d, in_features=64, kernel_init=torch_default)(flo))
         out = nn.relu(
@@ -284,12 +309,13 @@ class BasicMotionEncoder(nn.Module):
     corr_levels: int
     corr_radius: int
     dtype: jnp.dtype = jnp.float32
+    fold_impl: str = "xla"
 
     @nn.compact
     def __call__(self, flow: jnp.ndarray, corr) -> jnp.ndarray:
         d = self.dtype
         cor = nn.relu(_convc1(256, self.corr_levels, self.corr_radius, d,
-                              flow, corr))
+                              flow, corr, self.fold_impl))
         cor = nn.relu(conv2d(192, 3, 1, 1, name="convc2", dtype=d, in_features=256, kernel_init=torch_default)(cor))
         flo = nn.relu(conv2d(128, 7, 1, 3, name="convf1", dtype=d, in_features=2, kernel_init=torch_default)(flow))
         flo = nn.relu(conv2d(64, 3, 1, 1, name="convf2", dtype=d, in_features=128, kernel_init=torch_default)(flo))
@@ -306,12 +332,14 @@ class SmallUpdateBlock(nn.Module):
     corr_radius: int
     hidden_dim: int = 96
     dtype: jnp.dtype = jnp.float32
+    fold_impl: str = "xla"
 
     @nn.compact
     def __call__(self, net, inp, corr, flow):
         d = self.dtype
         motion = SmallMotionEncoder(self.corr_levels, self.corr_radius,
-                                    name="encoder", dtype=d)(flow, corr)
+                                    name="encoder", dtype=d,
+                                    fold_impl=self.fold_impl)(flow, corr)
         inp = jnp.concatenate([inp, motion], axis=-1)
         net = ConvGRU(self.hidden_dim, 82 + 64, name="gru", dtype=d)(net, inp)
         delta_flow = FlowHead(self.hidden_dim, 128, name="flow_head", dtype=d)(net)
@@ -323,6 +351,7 @@ class BasicUpdateBlock(nn.Module):
     corr_radius: int
     hidden_dim: int = 128
     dtype: jnp.dtype = jnp.float32
+    fold_impl: str = "xla"
 
     @nn.compact
     def __call__(self, net, inp, corr, flow, mask_needed=None):
@@ -332,7 +361,8 @@ class BasicUpdateBlock(nn.Module):
         bench shapes, wasted 11/12 times otherwise)."""
         d = self.dtype
         motion = BasicMotionEncoder(self.corr_levels, self.corr_radius,
-                                    name="encoder", dtype=d)(flow, corr)
+                                    name="encoder", dtype=d,
+                                    fold_impl=self.fold_impl)(flow, corr)
         inp = jnp.concatenate([inp, motion], axis=-1)
         net = SepConvGRU(self.hidden_dim, 128 + self.hidden_dim, name="gru", dtype=d)(net, inp)
         delta_flow = FlowHead(self.hidden_dim, 256, name="flow_head", dtype=d)(net)

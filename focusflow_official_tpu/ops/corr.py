@@ -404,7 +404,8 @@ def lookup_corr_fused_chunks(
 
     base_build = os.environ.get("FF_TENT_BASE", "1") != "0"
     if base_build:
-        # lane-aligned hoisted-base tent builds (round-4 Finding 10)
+        # lane-aligned hoisted-base tent builds (BENCH.md Finding 10):
+        # measured 35.24 vs 33.59 fps legacy (+4.9%) at the bench protocol
         sx_all = jnp.concatenate(
             [
                 _block_tent_weights_base(cx / (2.0 ** l), d, l, w2, wl)
@@ -444,13 +445,29 @@ def lookup_corr_fused_chunks(
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST).astype(dtype)
 
+    s2k = os.environ.get("FF_STAGE2_KERNEL", "0")
+    if s2k in ("1", "inkernel"):
+        # Mosaic stage-2+fold kernel experiment (BENCH.md Finding 11):
+        # hand stage 1's t plus the raw query y-coords to the consumer —
+        # `ChunkFoldedConv1x1` runs `kernels.stage2.stage2_fold`, which
+        # builds the y block-tents in VMEM, contracts with queries in the
+        # lane dim, and fuses the folded convc1. '1' = XLA-side
+        # pre-transpose of t to q-minor; 'inkernel' = Mosaic transpose
+        # (measured +0.9 ms/call standalone — the recorded negative).
+        return ("stage2k", t, cy, tuple(hl for hl, _ in sizes), radius,
+                s2k != "inkernel")
+
     if os.environ.get("FF_STAGE2_POOL", "0") == "1":
-        # Pooled stage 2 (round-4 experiment): the level-l block tent is
-        # piecewise-CONSTANT within each 2^l-row pool block, so contracting
-        # it against t equals contracting a plain level-l tent against t
-        # average-pooled l times along y (floor semantics, exactly the
-        # `avg_pool2x2` chain). Shrinks the stage-2 y-contractions from
-        # L*H2 to sum_l H2/2^l rows (55+27+13+6 vs 220 at bench shapes).
+        # Pooled stage 2: the level-l block tent is piecewise-CONSTANT
+        # within each 2^l-row pool block, so contracting it against t
+        # equals contracting a plain level-l tent against t average-pooled
+        # l times along y (floor semantics, exactly the `avg_pool2x2`
+        # chain). Shrinks the stage-2 y-contractions from L*H2 to
+        # sum_l H2/2^l rows (55+27+13+6 vs 220 at bench shapes).
+        # MEASURED NEGATIVE (BENCH.md Finding 10): 26.85 vs 35.24 fps
+        # (-24%) — the strided in-XLA pool slices relayout every level.
+        # Kept opt-in: the row-shrink idea is right where pooling is free
+        # (it rides again inside the Mosaic stage-2 kernel experiment).
         chunks = []
         for l, (hl, _) in enumerate(sizes):
             tl = t[..., l * k:(l + 1) * k]  # (B, Q, H2, K)

@@ -204,3 +204,65 @@ class TestFoldKernel:
         for name, (o, e) in zip(("dpacked", "dw", "dbias"), zip(got, want)):
             np.testing.assert_allclose(np.asarray(o), np.asarray(e),
                                        atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+class TestStage2Kernel:
+    """kernels/stage2.py: fused q-minor stage-2 + folded convc1
+    (`FF_STAGE2_KERNEL`, BENCH.md Finding 11)."""
+
+    @pytest.mark.parametrize("transpose_in_kernel", [True, False])
+    def test_matches_production_stage2_plus_fold(self, transpose_in_kernel):
+        """Kernel (interpret mode, f32) == production fused-chunk lookup
+        (`lookup_corr_fused_chunks`) followed by `ChunkFoldedConv1x1`,
+        from the same level-0 volume — covers the block-tent math (incl.
+        pooled-away-row masking), the (l, j, i) weight permutation, and
+        the q-padding tail (Q=390 % 128 != 0)."""
+        from focusflow_official_tpu.kernels import stage2
+        from focusflow_official_tpu.nn.update import ChunkFoldedConv1x1
+        from focusflow_official_tpu.ops.corr import (
+            _block_tent_weights_base, _pool_sizes, lookup_corr_fused_chunks)
+
+        b, h2, w2, r, levels, cout = 1, 15, 26, 3, 3, 64
+        k2 = (2 * r + 1) ** 2
+        q = h2 * w2
+        corr0 = jnp.asarray(RNG.randn(b, q, h2, w2).astype(np.float32))
+        cx = RNG.rand(b, h2, w2, 1) * (w2 - 1)
+        cy = RNG.rand(b, h2, w2, 1) * (h2 - 1)
+        coords = jnp.asarray(np.concatenate([cx, cy], -1).astype(np.float32))
+
+        chunks = lookup_corr_fused_chunks(corr0, coords, r, levels,
+                                          dtype=jnp.float32)
+        cin = levels * k2
+        w = jnp.asarray(RNG.randn(cin, cout).astype(np.float32) * 0.1)
+        bias = jnp.asarray(RNG.randn(cout).astype(np.float32))
+        mod = ChunkFoldedConv1x1(features=cout, corr_levels=levels,
+                                 corr_radius=r)
+        variables = {"params": {"kernel": w.reshape(1, 1, cin, cout),
+                                "bias": bias}}
+        want = np.asarray(mod.apply(variables, chunks))  # (B, Q, cout)
+
+        # stage-1 by hand (the kernel consumes t, not corr0)
+        d = jnp.linspace(-r, r, 2 * r + 1, dtype=jnp.float32)
+        sizes = _pool_sizes(h2, w2, levels)
+        cxq = coords[..., 0].reshape(b, q)
+        cyq = coords[..., 1].reshape(b, q)
+        sx_all = jnp.concatenate(
+            [_block_tent_weights_base(cxq / (2.0 ** l), d, l, w2, wl)
+             for l, (_, wl) in enumerate(sizes)], axis=-2)
+        t = jnp.einsum("bqyx,bqix->bqyi", corr0, sx_all)
+
+        kk = 2 * r + 1
+        idx = np.array([l * k2 + i * kk + j for l in range(levels)
+                        for j in range(kk) for i in range(kk)])
+        wp = jnp.asarray(np.asarray(w)[idx])
+
+        saved = stage2._INTERPRET
+        stage2._INTERPRET = True
+        try:
+            got = np.asarray(stage2.stage2_fold(
+                t, cyq, wp, bias, r, [hl for hl, _ in sizes],
+                dtype=jnp.float32,
+                transpose_in_kernel=transpose_in_kernel))
+        finally:
+            stage2._INTERPRET = saved
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
