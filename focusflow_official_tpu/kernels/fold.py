@@ -110,6 +110,37 @@ def _fold_bwd(dtype, res, g):
 _fold.defvjp(_fold_fwd, _fold_bwd)
 
 
+def fold_full_conv(o_full: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
+                   dtype, levels: int, k: int) -> jnp.ndarray:
+    """convc1 over the FULL (B, Q, LK, LK) stage-2 product.
+
+    Consumer half of `ops.corr` FF_STAGE2_FULLFOLD (round-5 Finding 12):
+    the (LK*LK, cout) fold matrix is the reference convc1 weight scattered
+    onto the level-diagonal (K, K) blocks — row (l*K+j)*LK + (l*K+i) holds
+    w[l*K2 + i*K + j] and every cross-level row is ZERO, so the spurious
+    cross-level products in o_full are multiplied away. Math identical to
+    `fold_chunks_conv` on the per-level chunks (the extra contraction
+    terms are exact zeros); FLOP cost is 4x a trivially small dot.
+    """
+    import numpy as np
+
+    lk = levels * k
+    b, q = o_full.shape[:2]
+    rows = np.zeros((lk * lk,), dtype=np.int64)
+    sel = np.zeros((lk * lk, 1), dtype=np.float32)
+    for l in range(levels):
+        for j in range(k):
+            for i in range(k):
+                rr = (l * k + j) * lk + (l * k + i)
+                rows[rr] = l * k * k + i * k + j
+                sel[rr] = 1.0
+    wp = (w[jnp.asarray(rows)] * jnp.asarray(sel)).astype(dtype)  # (LK2, cout)
+    packed = o_full.astype(dtype).reshape(b, q, lk * lk)
+    if not pallas_fold_supported():
+        return _xla_fold(packed, wp, bias, dtype)
+    return _fold(packed, wp, bias.astype(dtype), dtype)
+
+
 def fold_chunks_conv(chunks: Tuple[jnp.ndarray, ...], w: jnp.ndarray,
                      bias: jnp.ndarray, dtype) -> jnp.ndarray:
     """convc1 over query-space lookup chunks, chunk-layout-native.

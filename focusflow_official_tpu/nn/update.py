@@ -55,6 +55,14 @@ class ChunkFoldedConv1x1(nn.Module):
             (cout,), jnp.float32)
         w = kernel[0, 0]  # (cin, cout), rows ordered l, then i slow, j fast
         d = self.dtype
+        if isinstance(chunks, tuple) and chunks and chunks[0] == "full36":
+            # FF_STAGE2_FULLFOLD (round-5 Finding 12): the lookup handed us
+            # the full (B, Q, LK, LK) stage-2 product; fold it with the
+            # zero-expanded block-diagonal kernel (`kernels.fold`).
+            from ..kernels.fold import fold_full_conv
+
+            _, o_full, levels, kk = chunks
+            return fold_full_conv(o_full, w, bias, d, levels, kk)
         if isinstance(chunks, tuple) and chunks and chunks[0] == "stage2k":
             # Mosaic stage-2+fold kernel experiment (`FF_STAGE2_KERNEL`,
             # BENCH.md Finding 11): the lookup handed us stage 1's t and

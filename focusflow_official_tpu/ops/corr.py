@@ -368,6 +368,7 @@ def lookup_corr_fused_chunks(
     radius: int,
     num_levels: int = 4,
     dtype=jnp.bfloat16,
+    marker_ok: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
     """Pyramid-free fused lookup, restructured for zero extraction cost.
 
@@ -445,7 +446,25 @@ def lookup_corr_fused_chunks(
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST).astype(dtype)
 
-    s2k = os.environ.get("FF_STAGE2_KERNEL", "0")
+    if marker_ok and os.environ.get("FF_STAGE2_FULLFOLD", "0") == "1":
+        # Round-5 Finding 12: ONE full (LK, LK) stage-2 product instead of
+        # four per-level diagonal dots. The per-level (B, Q, 9, 9) outputs
+        # are tile-padded to (16, 128) minors (4% useful bytes) and their
+        # flatten+concat feeding the fold kernel paid 4 x ~0.36 ms of
+        # VMEM-bound reshapes (round-5 xprof at the bench protocol); the
+        # full product writes one 28%-useful (B, Q, 36, 36) tensor whose
+        # (36*36)-lane flatten is a single cheaper reshape. The fold
+        # consumer zero-expands its kernel onto the level-diagonal blocks
+        # (`kernels.fold.fold_full_conv`) so the cross-level products are
+        # multiplied away — math identical to the chunk path (the round-3
+        # 'full' rejection predates the fold kernel: it extracted the
+        # diagonal blocks in XLA and paid exactly the copies this avoids).
+        o_full = jnp.einsum("bqyj,bqyi->bqji", sy_all, t,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        return ("full36", o_full, num_levels, k)
+
+    s2k = os.environ.get("FF_STAGE2_KERNEL", "0") if marker_ok else "0"
     if s2k in ("1", "inkernel"):
         # Mosaic stage-2+fold kernel experiment (BENCH.md Finding 11):
         # hand stage 1's t plus the raw query y-coords to the consumer —
@@ -827,7 +846,8 @@ def alternate_corr_lookup(
                             precision=jax.lax.Precision.HIGHEST)
         corr_c = (corr_c * inv_sqrt_c).astype(dtype).reshape(b, chunk, h2, w2)
         outs = lookup_corr_fused_chunks(corr_c, coords_c, radius,
-                                        num_levels=num_levels, dtype=dtype)
+                                        num_levels=num_levels, dtype=dtype,
+                                        marker_ok=False)
         return None, outs
 
     _, stacked = jax.lax.scan(body, None, (f1, coords_s))

@@ -266,3 +266,55 @@ class TestStage2Kernel:
         finally:
             stage2._INTERPRET = saved
         np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
+
+
+class TestFullFold:
+    """FF_STAGE2_FULLFOLD (BENCH.md Finding 12, measured NEGATIVE, kept
+    opt-in): full (B,Q,LK,LK) stage-2 product + zero-expanded
+    block-diagonal fold == the production per-level chunk path."""
+
+    def test_matches_chunk_path(self, monkeypatch):
+        from focusflow_official_tpu.kernels import fold
+        from focusflow_official_tpu.nn.update import ChunkFoldedConv1x1
+        from focusflow_official_tpu.ops.corr import lookup_corr_fused_chunks
+
+        b, h2, w2, r, levels, cout = 1, 15, 26, 3, 3, 64
+        k2 = (2 * r + 1) ** 2
+        q = h2 * w2
+        corr0 = jnp.asarray(RNG.randn(b, q, h2, w2).astype(np.float32))
+        cx = RNG.rand(b, h2, w2, 1) * (w2 - 1)
+        cy = RNG.rand(b, h2, w2, 1) * (h2 - 1)
+        coords = jnp.asarray(np.concatenate([cx, cy], -1).astype(np.float32))
+
+        cin = levels * k2
+        w = jnp.asarray(RNG.randn(cin, cout).astype(np.float32) * 0.1)
+        bias = jnp.asarray(RNG.randn(cout).astype(np.float32))
+        mod = ChunkFoldedConv1x1(features=cout, corr_levels=levels,
+                                 corr_radius=r)
+        variables = {"params": {"kernel": w.reshape(1, 1, cin, cout),
+                                "bias": bias}}
+
+        monkeypatch.delenv("FF_STAGE2_FULLFOLD", raising=False)
+        chunks = lookup_corr_fused_chunks(corr0, coords, r, levels,
+                                          dtype=jnp.float32)
+        want = np.asarray(mod.apply(variables, chunks))
+
+        monkeypatch.setenv("FF_STAGE2_FULLFOLD", "1")
+        full = lookup_corr_fused_chunks(corr0, coords, r, levels,
+                                        dtype=jnp.float32)
+        assert isinstance(full, tuple) and full[0] == "full36"
+        # marker_ok=False callers (alternate_corr chunks) keep plain tuples
+        plain = lookup_corr_fused_chunks(corr0, coords, r, levels,
+                                         dtype=jnp.float32, marker_ok=False)
+        assert not isinstance(plain[0], str)
+
+        got = np.asarray(mod.apply(variables, full))  # XLA fallback on CPU
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+        saved = fold._INTERPRET
+        fold._INTERPRET = True  # Mosaic kernel consumer, interpret mode
+        try:
+            got_k = np.asarray(mod.apply(variables, full))
+        finally:
+            fold._INTERPRET = saved
+        np.testing.assert_allclose(got_k, want, atol=1e-4, rtol=1e-4)
