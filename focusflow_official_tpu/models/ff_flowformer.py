@@ -32,7 +32,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..nn.gma import FFBasicUpdateBlock, GMAAttention, GMAUpdateBlock
+from ..nn.gma import (FFBasicUpdateBlock, GMAAttention, GMAUpdateBlock,
+                      _Conv1x1MirrorParams)
 from ..nn.latent_cost import (
     BroadCrossAttentionLayer,
     ConvNextLayer,
@@ -247,14 +248,49 @@ class MemoryDecoderStep(nn.Module):
         q_count = h1 * w1
 
         coords1 = jax.lax.stop_gradient(coords1)
-        pyramid = CorrPyramid(levels=(cost_maps,), radius=4)
-        cost_forward = lookup_corr_pyramid(pyramid, coords1, impl=cfg.corr_impl,
-                                           num_levels=1)
-        cost_forward = cost_forward.astype(d)  # (B, H1, W1, 81)
+        import os
 
-        fte0 = conv2d(dim, 1, 1, 0, name="flow_token_encoder_0", dtype=d)
+        # Decoder chunk-fold (round-5 FlowFormer pass): keep the window
+        # lookup in its query-space (B, Q, K, K) chunk form and fold BOTH
+        # 1x1 consumers (flow_token_encoder_0 here, convc1 in the motion
+        # encoder) directly onto it — the RAFT treatment of the same
+        # pattern. Skips the per-iteration (B,Q,K,K) -> (B,H1,W1,81)
+        # transpose+reshape, whose (9,9) minors are tile-padded to
+        # (16,128). Param trees unchanged (`_Conv1x1MirrorParams`).
+        # Measured +1.3% fps at the bench protocol (21.59 vs 21.32,
+        # BENCH.md round-5 FlowFormer pass) -> default ON at eval
+        # (emit_upsampled False == test_mode); training keeps the NHWC
+        # form (unmeasured there). FF_DEC_CHUNK=1/0 force-overrides.
+        dec_default = "0" if self.emit_upsampled else "1"
+        use_chunk = (cfg.cost_heads_num == 1 and not cfg.only_global
+                     and cfg.corr_impl in ("auto", "mxu")
+                     and os.environ.get("FF_DEC_CHUNK", dec_default) == "1")
         fte2 = conv2d(dim, 1, 1, 0, name="flow_token_encoder_2", dtype=d)
-        query = fte2(gelu(fte0(cost_forward)))
+        if use_chunk:
+            from ..ops.corr import _lookup_level_mxu_chunk
+
+            # default bf16 lookup dtype == the NHWC path's (`_lookup_level_mxu`)
+            chunk = _lookup_level_mxu_chunk(cost_maps, coords1, 4)
+            k0, b0 = _Conv1x1MirrorParams(81, dim,
+                                          name="flow_token_encoder_0")()
+            # Pallas fold kernel (`kernels/fold.py`): consumes the chunk in
+            # the row-major layout stage 2 produces — the XLA einsum form
+            # paid a 0.45 ms/forward relayout copy on its operand
+            # (round-5 xprof); XLA fallback off-TPU
+            from ..kernels.fold import fold_chunks_conv
+
+            tok = fold_chunks_conv((chunk,), k0[0, 0], b0, d)
+            query = fte2(gelu(tok.reshape(b, h1, w1, dim)))
+            cost_forward = None
+        else:
+            pyramid = CorrPyramid(levels=(cost_maps,), radius=4)
+            cost_forward = lookup_corr_pyramid(pyramid, coords1,
+                                               impl=cfg.corr_impl,
+                                               num_levels=1)
+            cost_forward = cost_forward.astype(d)  # (B, H1, W1, 81)
+
+            fte0 = conv2d(dim, 1, 1, 0, name="flow_token_encoder_0", dtype=d)
+            query = fte2(gelu(fte0(cost_forward)))
         query = query.reshape(b * q_count, 1, dim)
 
         # positional query from the current coords (`decoder.py:67-81`)
@@ -276,9 +312,12 @@ class MemoryDecoderStep(nn.Module):
         x = x + ffn3(gelu(ffn0(xn)))
         cost_global = x.reshape(b, h1, w1, dim)
 
-        corr = cost_global if cfg.only_global else jnp.concatenate(
-            [cost_global, cost_forward], axis=-1
-        )
+        if cfg.only_global:
+            corr = cost_global
+        elif use_chunk:
+            corr = (cost_global, chunk)  # convc1 folds onto the chunk
+        else:
+            corr = jnp.concatenate([cost_global, cost_forward], axis=-1)
         flow = (coords1 - coords0).astype(d)
         cor_planes = dim if cfg.only_global else 81 * cfg.cost_heads_num + dim
         if cfg.gma:

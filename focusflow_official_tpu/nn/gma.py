@@ -17,9 +17,36 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .blocks import conv2d
+from .blocks import conv2d, kaiming_out, torch_bias_init
 from .twins import HIGH
 from .update import FlowHead, SepConvGRU
+
+
+class _Conv1x1MirrorParams(nn.Module):
+    """Parameter-only mirror of `conv2d(cout, 1, 1, 0, name=..., in_features=
+    fan_in)`: identical names/shapes/inits under the same module path, so
+    checkpoints map 1:1 while the caller applies the kernel split (the
+    decoder chunk-fold path). `bias_fan_in=None` mirrors the in_features-less
+    form (zeros bias init)."""
+
+    cin: int
+    cout: int
+    bias_fan_in: int | None = None
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", kaiming_out, (1, 1, self.cin, self.cout),
+                       jnp.float32)
+        if self.bias_fan_in is None:
+            bias_init = nn.initializers.zeros
+        else:
+            fan = self.bias_fan_in
+
+            def bias_init(key, shape, dtype=jnp.float32):
+                return torch_bias_init(key, shape, dtype, fan)
+
+        b = self.param("bias", bias_init, (self.cout,), jnp.float32)
+        return k, b
 
 
 class GMAAttention(nn.Module):
@@ -89,7 +116,31 @@ class FFBasicMotionEncoder(nn.Module):
     @nn.compact
     def __call__(self, flow, corr):
         d = self.dtype
-        cor = nn.relu(conv2d(256, 1, 1, 0, name="convc1", dtype=d, in_features=self.cor_planes)(corr))
+        if isinstance(corr, tuple):
+            # decoder chunk-fold path (FF_DEC_CHUNK): corr arrives as
+            # (cost_global NHWC, window chunk (B, Q, K, K) in (j, i) minor
+            # order) and convc1 is applied SPLIT — the global half as a
+            # token matmul, the window half folded directly onto the
+            # query-space chunk (reference rows cg + i*K + j), skipping the
+            # per-iteration (B,Q,K,K) -> (B,H,W,81) tile-padded repack.
+            # Params identical to the fused conv (`_Conv1x1MirrorParams`).
+            g, chunk = corr
+            bb, h1, w1, cg = g.shape
+            kk = chunk.shape[-1]
+            kc, bc = _Conv1x1MirrorParams(
+                cg + kk * kk, 256, bias_fan_in=self.cor_planes,
+                name="convc1")()
+            kc = kc[0, 0]
+            # window half through the Pallas fold kernel (chunk-layout-
+            # native, carries the bias); global half as a token matmul
+            from ..kernels.fold import fold_chunks_conv
+
+            cor_tok = fold_chunks_conv((chunk,), kc[cg:], bc, d)
+            cor = jnp.einsum("bhwc,co->bhwo", g.astype(d),
+                             kc[:cg].astype(d), precision=HIGH)
+            cor = nn.relu(cor + cor_tok.reshape(bb, h1, w1, 256))
+        else:
+            cor = nn.relu(conv2d(256, 1, 1, 0, name="convc1", dtype=d, in_features=self.cor_planes)(corr))
         cor = nn.relu(conv2d(192, 3, 1, 1, name="convc2", dtype=d, in_features=256)(cor))
         flo = nn.relu(conv2d(128, 7, 1, 3, name="convf1", dtype=d, in_features=2)(flow))
         flo = nn.relu(conv2d(64, 3, 1, 1, name="convf2", dtype=d, in_features=128)(flo))

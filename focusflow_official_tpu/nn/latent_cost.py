@@ -59,8 +59,15 @@ def _mha(q, k, v, heads: int, scale: float):
     if n <= 16:
         kht = kh.transpose(0, 2, 1, 3)  # (B, h, M, d) — small
         vht = vh.transpose(0, 2, 1, 3)
+        # score/softmax dtype keyed on the compute dtype: on the bf16 path
+        # the materialized (B, N, h, M) score tensor and its softmax chain
+        # are ~400 MB of f32 loop-fusion traffic at bench shapes (round-5
+        # xprof, input_layer scope); bf16 accumulation over the 16-wide
+        # head dim is within the path's rounding budget (trained-gate
+        # bounded). f32 inputs keep the f32 chain (parity suites).
+        acc_dt = jnp.float32 if qh.dtype == jnp.float32 else qh.dtype
         s = jnp.sum(qh[:, :, :, None, :] * kht[:, None], axis=-1,
-                    dtype=jnp.float32)  # (B, N, h, M), M minor
+                    dtype=acc_dt)  # (B, N, h, M), M minor
         p = jax.nn.softmax(s * scale, axis=-1).astype(vht.dtype)
         out = jnp.sum(p[..., None] * vht[:, None], axis=3)  # (B, N, h, vd)
         return out.reshape(b, n, -1)
@@ -68,6 +75,24 @@ def _mha(q, k, v, heads: int, scale: float):
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bhij,bjhd->bihd", attn, vh, precision=HIGH)
     return out.reshape(b, n, -1)
+
+
+class _Conv1x1Params(nn.Module):
+    """Parameter-only mirror of an `nn.Conv(cout, (1, 1))`: same names,
+    shapes, dtypes, and default inits under the same module path, so the
+    checkpoint/import tree is byte-identical while the caller applies the
+    kernel in a split form (cf. `cce._ConvParams`)."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, self.cin, self.cout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.cout,), jnp.float32)
+        return k, b
 
 
 class CostPatchEmbed(nn.Module):
@@ -105,14 +130,33 @@ class CostPatchEmbed(nn.Module):
             raise ValueError(f"patch size {p} unacceptable")
         out_size = x.shape[1:3]
 
-        # patch center coordinates in the ORIGINAL cost-map space
-        coord = coords_grid(b, *out_size) * p + p / 2  # (B, h3, w3, 2)
-        enc = linear_position_embedding_sine(coord, dim=self.embed_dim).astype(d)
-
-        xp = jnp.concatenate([x, enc], axis=-1)
         c2 = self.embed_dim * 2
-        xp = nn.Conv(c2, (1, 1), dtype=d, param_dtype=jnp.float32, precision=HIGH,
-                     name="ffn_with_coord_0")(xp)
+        ed = self.embed_dim
+        # ffn_with_coord_0 with the position branch FOLDED OUT (round-5
+        # FlowFormer pass): the sine encoding of the patch-center grid is
+        # IDENTICAL for every one of the B = H1*W1 cost maps, so
+        # conv(cat(x, enc)) = x @ k[:ed] + (enc1 @ k[ed:] + bias) with the
+        # bracket computed once at batch 1 — the (B, h3, w3, ed) enc
+        # tensor and the (B, h3, w3, 2*ed) concat never materialize
+        # (~300 MB of HBM traffic at bench shapes). Param tree unchanged
+        # (`_Conv1x1Params`); reference: `encoder.py:26-83`.
+        kf, bf = _Conv1x1Params(c2, c2, name="ffn_with_coord_0")()
+        coord1 = coords_grid(1, *out_size) * p + p / 2  # (1, h3, w3, 2)
+        enc1 = linear_position_embedding_sine(coord1, dim=ed).astype(d)
+        import os
+
+        if os.environ.get("FF_PE_FOLD", "1") == "0":
+            # legacy concat form (A/B reference): materializes the
+            # broadcast enc and the 2*ed-channel concat at batch B
+            enc_b = jnp.broadcast_to(enc1, (b, *enc1.shape[1:]))
+            xp = jnp.concatenate([x, enc_b], axis=-1)
+            xp = jnp.einsum("bhwc,co->bhwo", xp, kf[0, 0].astype(d),
+                            precision=HIGH) + bf.astype(d)
+        else:
+            const = jnp.einsum("bhwc,co->bhwo", enc1, kf[0, 0, ed:].astype(d),
+                               precision=HIGH) + bf.astype(d)
+            xp = jnp.einsum("bhwc,co->bhwo", x, kf[0, 0, :ed].astype(d),
+                            precision=HIGH) + const
         xp = nn.relu(xp)
         xp = nn.Conv(c2, (1, 1), dtype=d, param_dtype=jnp.float32, precision=HIGH,
                      name="ffn_with_coord_2")(xp)

@@ -105,3 +105,56 @@ class TestFFFlowFormer:
         assert np.isfinite(np.asarray(flow_up)).all()
 
 
+
+
+def test_patch_embed_posenc_fold_exact(monkeypatch):
+    """The folded ffn_with_coord_0 (position branch hoisted to batch 1,
+    round-5 FlowFormer pass) == the reference concat form, with an
+    identical param tree (`_Conv1x1Params` mirrors `nn.Conv`)."""
+    from focusflow_official_tpu.nn.latent_cost import CostPatchEmbed
+
+    m = CostPatchEmbed(8, 1, 64, dtype=jnp.float32)
+    x = jnp.asarray(RNG.randn(5, 24, 32, 1).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    p = v["params"]
+    assert p["ffn_with_coord_0"]["kernel"].shape == (1, 1, 128, 128)
+    assert p["ffn_with_coord_0"]["bias"].shape == (128,)
+
+    monkeypatch.setenv("FF_PE_FOLD", "0")
+    want, size0 = m.apply(v, x)
+    monkeypatch.setenv("FF_PE_FOLD", "1")
+    got, size1 = m.apply(v, x)
+    assert size0 == size1
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_decoder_chunk_fold_exact(monkeypatch):
+    """FF_DEC_CHUNK (round-5): the decoder's window lookup consumed as a
+    query-space (B,Q,K,K) chunk with flow_token_encoder_0 and convc1
+    folded onto it == the NHWC form, per STEP (the untrained recurrence
+    amplifies float drift ~500x/iteration, so exactness is asserted at
+    decoder_depth=1; the trained-weight bound lives in
+    test_trained_gates_ff.py). Param tree unchanged."""
+    cfg = _tiny_cfg(corr_impl="mxu", decoder_depth=1)
+    model = FFFlowFormer(cfg)
+    img = jnp.asarray((RNG.rand(1, 64, 96, 3) * 255).astype(np.float32))
+    msk = jnp.asarray(((RNG.rand(1, 64, 96, 1) > 0.95) * 255).astype(np.float32))
+
+    monkeypatch.setenv("FF_DEC_CHUNK", "0")
+    v0 = model.init(jax.random.PRNGKey(0), img, img, msk, msk)
+    out0 = model.apply(v0, img, img, msk, msk, test_mode=True)
+    monkeypatch.setenv("FF_DEC_CHUNK", "1")
+    v1 = model.init(jax.random.PRNGKey(0), img, img, msk, msk)
+    out1 = model.apply(v0, img, img, msk, msk, test_mode=True)
+
+    from flax import traverse_util
+    f0 = traverse_util.flatten_dict(v0)
+    f1 = traverse_util.flatten_dict(v1)
+    assert set(f0) == set(f1)
+    for k in f0:
+        np.testing.assert_array_equal(np.asarray(f0[k]), np.asarray(f1[k]),
+                                      err_msg="/".join(map(str, k)))
+    for a, b in zip(out0, out1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
