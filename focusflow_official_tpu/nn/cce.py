@@ -276,6 +276,30 @@ def _packed_stem(x: jnp.ndarray, mask: jnp.ndarray, kx, bx, km, bm,
     return y + b.astype(dtype)
 
 
+def _packed_stem_ch(x: jnp.ndarray, mask: jnp.ndarray, kx, bx, km, bm,
+                    dtype) -> jnp.ndarray:
+    """Both 7x7/stride-2 stems as ONE dense conv over channel-concatenated
+    inputs (`FF_PACKED_STEM=ch`, round-5 A/B): kernel block-diagonal on
+    the (img channels | mask channels) input split, so out[..., :F] ==
+    conv(x, kx) and out[..., F:] == conv(mask, km) exactly. Unlike the
+    batch-grouped form ('1', measured loss), the batch axis is untouched
+    and the image+mask tensors ride ONE input read — the stem is
+    input-read-bound and the chunk input's batch-in-lanes layout pads
+    channels to the sublane tile anyway (3 -> 4), so the mask channel
+    rides for free. Zero kernel blocks waste FLOPs the stem doesn't have."""
+    ci, cm = kx.shape[2], km.shape[2]
+    f = kx.shape[3]
+    xin = jnp.concatenate([x, mask], -1).astype(dtype)
+    top = jnp.concatenate([kx, jnp.zeros((7, 7, ci, f), kx.dtype)], -1)
+    bot = jnp.concatenate([jnp.zeros((7, 7, cm, f), km.dtype), km], -1)
+    k = jnp.concatenate([top, bot], -2).astype(dtype)  # (7,7,ci+cm,2F)
+    y = jax.lax.conv_general_dilated(
+        xin, k, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    return y + jnp.concatenate([bx, bm], -1).astype(dtype)
+
+
 def _blockdiag_kernel(kx: jnp.ndarray, km: jnp.ndarray) -> jnp.ndarray:
     """(kh,kw,C,C) x2 -> (kh,kw,2C,2C) with zero off-diagonal blocks:
     input block [:C] (image) feeds only output block [:C], etc."""
@@ -398,14 +422,18 @@ class BasicParallelFusionLayer(nn.Module):
             and ft == "1x1conv"
             and os.environ.get("FF_PACKED_CCE_BN", "1") != "0")
 
-        # Opt-in A/B: the two stems as one batch_group_count=2 conv
-        # (produces the packed tensor directly at 128-lane width). Measured
-        # a LOSS at the bench protocol (32.31 vs 33.28 fps with separate
-        # stems + concat): the batch-grouped conv denies XLA the
-        # input-fusion freedom the separate stems get, and the stem is
-        # input-read-bound, not lane-bound. Separate stems stay default.
+        # FF_PACKED_STEM modes (BENCH.md Findings 9/13):
+        #   'ch' (DEFAULT) — both stems as one dense conv over channel-
+        #     concatenated inputs (`_packed_stem_ch`): the stem is input-
+        #     read-bound and the batch-in-lanes chunk layout pads channels
+        #     to the sublane tile anyway, so image+mask ride one read.
+        #     Measured 40.48 vs 39.60 fps (+2.2%).
+        #   '1' — batch_group_count=2 form: measured LOSS (32.31 vs 33.28,
+        #     round 4) — bgc denies XLA input-fusion freedom.
+        #   '0' — separate stems + concat (the pre-round-5 default).
+        stem_mode = os.environ.get("FF_PACKED_STEM", "ch")
         pack_stem = (packed and os.environ.get("FF_S2D_STEM") != "1"
-                     and os.environ.get("FF_PACKED_STEM", "0") == "1")
+                     and stem_mode in ("1", "ch"))
         if pack_stem:
             kx, bx = _ConvParams(64, 7, self.img_channel, name="conv1")()
             if mask.shape[-1] == 1 and self.mask_channel != 1:
@@ -417,7 +445,10 @@ class BasicParallelFusionLayer(nn.Module):
             else:
                 km, bm = _ConvParams(
                     64, 7, self.mask_channel, name="mask_conv1")()
-            p = _packed_stem(x, mask, kx, bx, km, bm, d)
+            if stem_mode == "ch":
+                p = _packed_stem_ch(x, mask, kx, bx, km, bm, d)
+            else:
+                p = _packed_stem(x, mask, kx, bx, km, bm, d)
         else:
             stem = _stem(d)
             if mask.shape[-1] == 1 and self.mask_channel != 1:

@@ -23,6 +23,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .pool import avg_pool2x2
 from .pallas_lookup import lookup_corr_pyramid_pallas, pallas_lookup_supported
@@ -275,6 +276,60 @@ def _block_tent_weights_base(scaled: jnp.ndarray, d: jnp.ndarray, level: int,
     return tent * (2.0 ** -level)
 
 
+def _block_tent_weights_rows(cx: jnp.ndarray, d: jnp.ndarray, sizes,
+                             size0: int, dtype) -> jnp.ndarray:
+    """All levels' hoisted-base x-tents as ONE broadcast expression.
+
+    Same math per row as the per-level `_block_tent_weights_base` +
+    concat (row (l, k): max(0, 1 - |cx/2^l - (x >> l) + d_k|) * mask_l *
+    2^-l), but emitted as a single (B, Q, L*K, size0) elementwise chain:
+    the concat-of-4-builds form made XLA materialize a 4-tuple of
+    (B, Q, K, size0) intermediates (9 -> 16 sublane tile padding) and
+    re-read them in a second concat fusion — ~115 MB of extra round-trip
+    traffic and 1.45 ms/forward at bench shapes (round-5 xprof:
+    `maximum_convert_fusion` 0.40 + `pad_maximum_fusion` 1.05).
+    All level/tap constants ride a 36-row table broadcast along lanes.
+    """
+    levels = len(sizes)
+    k = d.shape[0]
+    lrow = np.repeat(np.arange(levels), k)  # (LK,)
+    scale_row = jnp.asarray((2.0 ** -lrow)[:, None].astype(np.float32))
+    drow = jnp.tile(d, levels)[:, None]  # (LK, 1)
+    x = np.arange(size0, dtype=np.int64)
+    xb = jnp.asarray((x[None, :] >> lrow[:, None]).astype(np.float32))
+    maskw = np.ones((levels * k, size0), np.float32)
+    for l, (_, wl) in enumerate(sizes):
+        if wl << l < size0:
+            maskw[l * k:(l + 1) * k, x >= (wl << l)] = 0.0
+    gain = jnp.asarray(maskw) * scale_row  # (LK, size0)
+
+    base = cx[..., None, None] * scale_row - xb  # (B, Q, LK, size0)
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(base + drow))
+    return (tent * gain).astype(dtype)
+
+
+def _block_tent_weights_t_rows(cy: jnp.ndarray, d: jnp.ndarray, sizes,
+                               size0: int, dtype) -> jnp.ndarray:
+    """Transposed-layout row-table build: all levels' y-tents as one
+    (B, Q, size0, L*K) expression (cf. `_block_tent_weights_rows`)."""
+    levels = len(sizes)
+    k = d.shape[0]
+    lrow = np.repeat(np.arange(levels), k)  # (LK,)
+    scale_row = jnp.asarray((2.0 ** -lrow).astype(np.float32))  # (LK,)
+    drow = jnp.tile(d, levels)  # (LK,)
+    y = np.arange(size0, dtype=np.int64)
+    yb = jnp.asarray((y[:, None] >> lrow[None, :]).astype(np.float32))
+    maskh = np.ones((size0, levels * k), np.float32)
+    for l, (hl, _) in enumerate(sizes):
+        if hl << l < size0:
+            maskh[y >= (hl << l), l * k:(l + 1) * k] = 0.0
+    gain = jnp.asarray(maskh) * scale_row  # (size0, LK)
+
+    base = cy[..., None, None] * scale_row - yb  # (B, Q, size0, LK)
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(base + drow))
+    return (tent * gain).astype(dtype)
+
+
 def lookup_corr_fused(
     corr0: jnp.ndarray,
     coords: jnp.ndarray,
@@ -407,20 +462,34 @@ def lookup_corr_fused_chunks(
     if base_build:
         # lane-aligned hoisted-base tent builds (BENCH.md Finding 10):
         # measured 35.24 vs 33.59 fps legacy (+4.9%) at the bench protocol
-        sx_all = jnp.concatenate(
-            [
-                _block_tent_weights_base(cx / (2.0 ** l), d, l, w2, wl)
-                for l, (_, wl) in enumerate(sizes)
-            ],
-            axis=-2,
-        ).astype(dtype)  # (B, Q, L*K, W2)
-        sy_all = jnp.concatenate(
-            [
-                _block_tent_weights_t_base(cy / (2.0 ** l), d, l, h2, hl)
-                for l, (hl, _) in enumerate(sizes)
-            ],
-            axis=-1,
-        ).astype(dtype)  # (B, Q, H2, L*K)
+        if os.environ.get("FF_TENT_ROWS", "1") != "0":
+            # single-expression row-table build (BENCH.md Finding 13):
+            # no per-level concat, no tile-padded intermediate tuple.
+            # Measured 39.60 vs 36.23 fps (+9.3%) at the bench protocol
+            # -> DEFAULT; FF_TENT_ROWS=0 restores the concat-of-4 form
+            sx_all = _block_tent_weights_rows(cx, d, sizes, w2, dtype)
+        else:
+            sx_all = jnp.concatenate(
+                [
+                    _block_tent_weights_base(cx / (2.0 ** l), d, l, w2, wl)
+                    for l, (_, wl) in enumerate(sizes)
+                ],
+                axis=-2,
+            ).astype(dtype)  # (B, Q, L*K, W2)
+        if os.environ.get("FF_TENT_ROWS_Y", "0") == "1":
+            # A/B: sy through the same row-table form. Unlike sx, the
+            # concat-of-4 sy build gets FUSED into the per-level stage-2
+            # dots by XLA (round-5 xprof), so this is not expected to
+            # matter; measured for the record.
+            sy_all = _block_tent_weights_t_rows(cy, d, sizes, h2, dtype)
+        else:
+            sy_all = jnp.concatenate(
+                [
+                    _block_tent_weights_t_base(cy / (2.0 ** l), d, l, h2, hl)
+                    for l, (hl, _) in enumerate(sizes)
+                ],
+                axis=-1,
+            ).astype(dtype)  # (B, Q, H2, L*K)
     else:
         sx_all = jnp.concatenate(
             [

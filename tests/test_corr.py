@@ -343,3 +343,31 @@ class TestPallasLookup:
                                        atol=5e-2, rtol=5e-2)
         np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_x),
                                    atol=5e-2, rtol=5e-2)
+
+
+class TestTentRowBuilds:
+    """FF_TENT_ROWS / FF_TENT_ROWS_Y (BENCH.md Finding 13): the
+    single-expression row-table tent builds are bit-exact vs the
+    per-level concat-of-4 form (same per-row math, power-of-two scales)."""
+
+    def _case(self):
+        rng = np.random.RandomState(0)
+        b, h2, w2 = 1, 15, 26
+        q = h2 * w2
+        corr0 = jnp.asarray(rng.randn(b, q, h2, w2).astype(np.float32))
+        coords = jnp.asarray(
+            (rng.rand(b, h2, w2, 2) * [[w2 - 1, h2 - 1]]).astype(np.float32))
+        return corr0, coords
+
+    def test_rows_match_concat_builds(self, monkeypatch):
+        from focusflow_official_tpu.ops.corr import lookup_corr_fused_chunks
+
+        corr0, coords = self._case()
+        monkeypatch.setenv("FF_TENT_ROWS", "0")
+        monkeypatch.setenv("FF_TENT_ROWS_Y", "0")
+        want = lookup_corr_fused_chunks(corr0, coords, 4, 4, dtype=jnp.float32)
+        monkeypatch.setenv("FF_TENT_ROWS", "1")
+        monkeypatch.setenv("FF_TENT_ROWS_Y", "1")
+        got = lookup_corr_fused_chunks(corr0, coords, 4, 4, dtype=jnp.float32)
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -169,3 +169,24 @@ def test_packed_single_channel_tiled_mask():
     out = _run(m, v, x, mask, packed=True)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=0, atol=2e-3)
+
+
+def test_packed_stem_ch_matches(monkeypatch):
+    """FF_PACKED_STEM=ch (BENCH.md Finding 13, the round-5 default): both
+    stems as one dense conv over channel-concatenated inputs == the
+    separate-stems form, for 3-channel and 1-channel (tiled) masks."""
+    h, w = 160, 96
+    for mask_ch in (3, 1):
+        m = BasicParallelFusionLayer(
+            norm_fn="instance", fusion_type="1x1conv", dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, 3)) * 50.0
+        mask = jax.random.normal(jax.random.PRNGKey(2), (2, h, w, mask_ch))
+        if mask_ch == 1:
+            mask = (mask > 1.0).astype(jnp.float32)
+        monkeypatch.setenv("FF_PACKED_STEM", "0")
+        v = m.init(jax.random.PRNGKey(0), x, mask, train=False)
+        ref = m.apply(v, x, mask, train=False)
+        monkeypatch.setenv("FF_PACKED_STEM", "ch")
+        out = m.apply(v, x, mask, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=2e-3)
