@@ -432,8 +432,11 @@ class BasicParallelFusionLayer(nn.Module):
         #     round 4) — bgc denies XLA input-fusion freedom.
         #   '0' — separate stems + concat (the pre-round-5 default).
         stem_mode = os.environ.get("FF_PACKED_STEM", "ch")
-        pack_stem = (packed and os.environ.get("FF_S2D_STEM") != "1"
-                     and stem_mode in ("1", "ch"))
+        # 'ch' also serves the batch-norm (fused-cnet) packed branch — the
+        # bgc form ('1') stays fnet-only as the round-4 recorded negative
+        pack_stem = (os.environ.get("FF_S2D_STEM") != "1"
+                     and ((packed and stem_mode in ("1", "ch"))
+                          or (packed_bn and stem_mode == "ch")))
         if pack_stem:
             kx, bx = _ConvParams(64, 7, self.img_channel, name="conv1")()
             if mask.shape[-1] == 1 and self.mask_channel != 1:
@@ -506,7 +509,8 @@ class BasicParallelFusionLayer(nn.Module):
                 packed_done = 1
         elif packed_bn:
             eps = 1e-5  # Norm default; the BN mirrors declare scale/bias
-            p = jnp.concatenate([x, mask], -1)  # [:64]=image, [64:]=mask
+            if not pack_stem:
+                p = jnp.concatenate([x, mask], -1)  # [:64]=image, [64:]=mask
             p = _packed_bn(p, _NormBNParams(64, name="norm1")(),
                            _NormBNParams(64, name="mask_norm1")(),
                            eps, True, d)
