@@ -46,7 +46,12 @@ _HALO = 12  # input rows each side: stem 7x7/2 (3) + 4x conv3x3 at /2 (2*4), rou
 
 
 def _row_chunk_plan(h: int):
-    """Pick nc so H/2 splits into equal cores of 40-64 rows (then 20-39).
+    """Pick nc so H/2 splits into equal cores of 40-64 rows (then 20-39),
+    preferring the LARGEST core in the band: the halo recompute scales
+    with nc, and the bench-shape sweep (h2=220, BENCH.md Finding 13)
+    measured cores 55 > 44 > 110 (44.97 / 41.31 / 41.25 fps) — bigger
+    cores win inside the band, but leaving the band (nc=2) loses the
+    space-to-batch width.
 
     FF_CHUNK_NC forces a specific chunk count (perf experiments only;
     rejected if it doesn't divide H/2)."""
@@ -56,7 +61,7 @@ def _row_chunk_plan(h: int):
         nc = int(forced)
         return nc if nc > 1 and h2 % nc == 0 else None
     for lo, hi in ((40, 65), (20, 40)):
-        for ch2 in range(lo, hi):
+        for ch2 in range(hi - 1, lo - 1, -1):
             if h2 % ch2 == 0 and h2 // ch2 > 1:
                 return h2 // ch2
     return None

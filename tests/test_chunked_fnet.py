@@ -140,8 +140,9 @@ def test_chunked_cce_under_batch_sharded_mesh():
 
 
 def test_chunk_plan_divisibility():
-    # bench shape 440 -> a real multi-slab plan; indivisible heights opt out
-    assert _row_chunk_plan(440) == 5
+    # bench shape 440 -> the largest in-band core (55 rows, nc=4 — the
+    # measured winner of BENCH.md Finding 14); indivisible heights opt out
+    assert _row_chunk_plan(440) == 4
     assert _row_chunk_plan(446) is None  # 223 is prime
     for h in (160, 200, 320, 440, 480, 768):
         nc = _row_chunk_plan(h)
