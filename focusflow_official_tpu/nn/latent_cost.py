@@ -145,9 +145,14 @@ class CostPatchEmbed(nn.Module):
         enc1 = linear_position_embedding_sine(coord1, dim=ed).astype(d)
         import os
 
-        if os.environ.get("FF_PE_FOLD", "1") == "0":
-            # legacy concat form (A/B reference): materializes the
-            # broadcast enc and the 2*ed-channel concat at batch B
+        if os.environ.get("FF_PE_FOLD", "0") == "0":
+            # concat form — the measured DEFAULT at the final round-5
+            # build: the same-session control beat the folded form 22.41
+            # vs 21.81 fps (the fold's earlier +0.2 was a cross-session
+            # misattribution; with the decoder chunk-fold in place the
+            # broadcast+concat fuses into the conv better than the
+            # split-kernel two-dot form). FF_PE_FOLD=1 keeps the folded
+            # variant as the documented negative.
             enc_b = jnp.broadcast_to(enc1, (b, *enc1.shape[1:]))
             xp = jnp.concatenate([x, enc_b], axis=-1)
             xp = jnp.einsum("bhwc,co->bhwo", xp, kf[0, 0].astype(d),
